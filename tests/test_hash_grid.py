@@ -1,0 +1,120 @@
+"""Property tests for the multiresolution hash-grid encoding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atmonr_tpu.models import hash_grid as hg
+
+
+def _cfg(**kw):
+    defaults = dict(
+        n_dims=3,
+        n_levels=4,
+        n_features_per_level=2,
+        log2_hashmap_size=10,
+        base_resolution=4,
+        per_level_scale=2.0,
+    )
+    defaults.update(kw)
+    return hg.HashGridConfig(**defaults)
+
+
+def test_level_geometry():
+    cfg = _cfg()
+    # scale_l = 4 * 2^l - 1 -> res_l = ceil(scale)+1 = 4*2^l
+    assert cfg.level_resolutions == (4, 8, 16, 32)
+    # dense sizes: 64, 512, 4096>1024 -> hashed 1024, 1024
+    assert cfg.level_sizes == (64, 512, 1024, 1024)
+    assert cfg.level_offsets == (0, 64, 576, 1600)
+    assert cfg.total_params == 2624
+    assert cfg.level_is_dense(0) and cfg.level_is_dense(1)
+    assert not cfg.level_is_dense(2) and not cfg.level_is_dense(3)
+    assert cfg.n_output_dims == 8
+
+
+def test_from_reference_config():
+    # the reference instant_ngp.json position encoding
+    cfg = hg.HashGridConfig.from_options(
+        {
+            "n_levels": 16,
+            "n_features_per_level": 2,
+            "log2_hashmap_size": 21,
+            "base_resolution": 16,
+            "per_level_scale": 1.3819,
+        },
+        n_dims=3,
+    )
+    assert cfg.n_output_dims == 32
+    assert cfg.level_resolutions[0] == 16
+    # growth factor ~1.3819 -> last level around 16*1.3819^15
+    assert 1800 < cfg.level_resolutions[-1] < 2200
+    # large levels saturate at the hashmap size (aligned)
+    assert cfg.level_sizes[-1] == 1 << 21
+
+
+def test_encode_shape_and_dtype():
+    cfg = _cfg()
+    key = jax.random.PRNGKey(0)
+    table = hg.init_hash_table(key, cfg)
+    assert table.shape == (cfg.total_params, 2)
+    assert float(jnp.max(jnp.abs(table))) <= 1e-4
+    x = jax.random.uniform(jax.random.PRNGKey(1), (100, 3))
+    out = hg.hash_encode(table, x, cfg)
+    assert out.shape == (100, cfg.n_output_dims)
+
+
+def test_dense_level_vertex_exactness():
+    """At grid vertices, interpolation returns the vertex feature exactly."""
+    cfg = _cfg(n_levels=1, base_resolution=4, per_level_scale=2.0)
+    scale = cfg.level_scales[0]  # 3.0
+    res = cfg.level_resolutions[0]  # 4
+    table = jax.random.normal(jax.random.PRNGKey(2), (cfg.total_params, 2))
+    # pick vertices: pos = x*scale + 0.5 must be integral -> x = (k - 0.5)/scale
+    ks = np.array([1, 2], dtype=np.float64)
+    xs = (ks - 0.5) / scale
+    pts = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1).reshape(-1, 3)
+    out = hg.hash_encode(table, jnp.asarray(pts, jnp.float32), cfg)
+    # expected: table[ x + y*res + z*res^2 ]
+    gi = np.floor(pts * scale + 0.5).astype(int)
+    idx = gi[:, 0] + gi[:, 1] * res + gi[:, 2] * res * res
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(table)[idx], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_encode_is_continuous():
+    cfg = _cfg()
+    table = hg.init_hash_table(jax.random.PRNGKey(3), cfg) * 1e4  # O(1) features
+    x = jnp.asarray([[0.3, 0.5, 0.7]])
+    eps = 1e-5
+    a = hg.hash_encode(table, x, cfg)
+    b = hg.hash_encode(table, x + eps, cfg)
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-2
+
+
+def test_hash_table_gradient_scatter_add():
+    """Backward through the encoding is a scatter-add into touched entries."""
+    cfg = _cfg(n_levels=2)
+    table = hg.init_hash_table(jax.random.PRNGKey(4), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (16, 3))
+
+    def loss(t):
+        return jnp.sum(hg.hash_encode(t, x, cfg))
+
+    grad = jax.grad(loss)(table)
+    # gradient sums to (number of points) per level per feature: interpolation
+    # weights sum to 1 per point-level
+    per_level = []
+    for lvl in range(cfg.n_levels):
+        o, s = cfg.level_offsets[lvl], cfg.level_sizes[lvl]
+        per_level.append(np.asarray(jnp.sum(grad[o : o + s], axis=0)))
+    np.testing.assert_allclose(np.stack(per_level), 16.0, rtol=1e-5)
+
+
+def test_2d_hash_grid():
+    cfg = _cfg(n_dims=2, n_levels=3)
+    table = hg.init_hash_table(jax.random.PRNGKey(6), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(7), (10, 2))
+    out = hg.hash_encode(table, x, cfg)
+    assert out.shape == (10, 6)
