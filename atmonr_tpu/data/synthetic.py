@@ -1,0 +1,125 @@
+"""Synthetic HARP2 granule generation for offline testing and benchmarking.
+
+Generalizes the reference's mgrid test fixture (tests/test_samplers.py:9-19)
+into a full fake granule: a swath of geolocated pixels observed from several
+view angles across the four HARP2 bands, with radiances rendered from a
+simple analytic cloud so that training has real structure to fit. Can also be
+written to disk in the HARP2 L1B netCDF-4 (HDF5) layout so the file-reading
+path is testable without NASA Earthdata access.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from atmonr_tpu.data.granule import GranuleArrays
+
+# HARP2 band wavelengths (nm): infrared, red, green, blue
+BAND_WAVELENGTHS = {0: 867.0, 1: 669.0, 2: 550.0, 3: 441.0}
+
+
+def make_synthetic_granule(
+    height: int = 24,
+    width: int = 16,
+    views_per_band: int = 2,
+    lat0: float = 20.0,
+    lon0: float = -40.0,
+    pixel_deg: float = 0.02,
+    max_view_angle: float = 40.0,
+    nan_fraction: float = 0.02,
+    seed: int = 0,
+) -> GranuleArrays:
+    """Build an in-memory fake HARP2 L1B granule.
+
+    The swath is a regular lat/lon grid (latitude decreasing along-track, as
+    the real product is ordered); each band contributes ``views_per_band``
+    views at distinct zenith angles. Radiances are a smooth Gaussian "cloud"
+    plus a band-dependent surface term, scaled per-view so multi-angle
+    structure exists.
+    """
+    rng = np.random.default_rng(seed)
+    n_views = 4 * views_per_band
+
+    # per-view angle table: spread views in [-max, max], grouped by band
+    view_angles = np.linspace(-max_view_angle, max_view_angle, n_views)
+    bands = np.tile(np.arange(4), views_per_band)
+    rng.shuffle(bands)
+    wavelengths = np.array([BAND_WAVELENGTHS[b] for b in bands])
+
+    lat_1d = lat0 - np.arange(height) * pixel_deg  # decreasing along-track
+    lon_1d = lon0 + np.arange(width) * pixel_deg
+    lat2, lon2 = np.meshgrid(lat_1d, lon_1d, indexing="ij")
+
+    lat = np.broadcast_to(lat2, (n_views, height, width)).copy()
+    lon = np.broadcast_to(lon2, (n_views, height, width)).copy()
+    # small view-dependent parallax jitter
+    lat += rng.normal(scale=1e-4, size=lat.shape)
+    lon += rng.normal(scale=1e-4, size=lon.shape)
+    alt = np.abs(rng.normal(scale=30.0, size=lat.shape))
+
+    thetav = np.abs(view_angles)[:, None, None] * np.ones((1, height, width))
+    thetav += rng.normal(scale=0.05, size=thetav.shape)
+    phiv = np.where(view_angles < 0, -90.0, 90.0)[:, None, None] * np.ones(
+        (1, height, width)
+    )
+    phiv += rng.normal(scale=0.5, size=phiv.shape)
+
+    # radiances: gaussian cloud bump + surface albedo, per-band scaling
+    cy, cx = lat0 - height * pixel_deg / 2, lon0 + width * pixel_deg / 2
+    r2 = ((lat - cy) / (height * pixel_deg / 3)) ** 2 + (
+        (lon - cx) / (width * pixel_deg / 3)
+    ) ** 2
+    cloud = np.exp(-r2)
+    band_scale = np.array([0.8, 1.0, 0.9, 0.7])[bands][:, None, None]
+    view_scale = 1.0 - 0.3 * (np.abs(view_angles) / max_view_angle)[:, None, None]
+    i = (0.2 + 0.8 * cloud) * band_scale * view_scale * 100.0
+    i += rng.normal(scale=0.5, size=i.shape)
+
+    # sprinkle invalid pixels
+    nan_mask = rng.uniform(size=i.shape) < nan_fraction
+    i[nan_mask] = np.nan
+
+    return GranuleArrays(
+        level="L1B",
+        product_name="PACE_HARP2.SYNTHETIC.L1B.nc",
+        lat=lat,
+        lon=lon,
+        alt=alt,
+        thetav=thetav,
+        phiv=phiv,
+        i=i,
+        view_angles=view_angles,
+        wavelengths=wavelengths,
+    )
+
+
+def write_granule_l1b(granule: GranuleArrays, path: str | Path) -> None:
+    """Write a GranuleArrays to disk in HARP2 L1B netCDF-4 (HDF5) layout."""
+    import h5py
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with h5py.File(path, "w") as f:
+        f.attrs["processing_level"] = granule.level
+        f.attrs["product_name"] = granule.product_name
+        geo = f.create_group("geolocation_data")
+        obs = f.create_group("observation_data")
+        svb = f.create_group("sensor_views_bands")
+        fill = -32767.0
+
+        def _w(group, name, arr):
+            arr = np.asarray(arr, np.float64).copy()
+            arr[np.isnan(arr)] = fill
+            ds = group.create_dataset(name, data=arr)
+            ds.attrs["_FillValue"] = fill
+
+        _w(geo, "latitude", granule.lat)
+        _w(geo, "longitude", granule.lon)
+        _w(geo, "surface_altitude", granule.alt)
+        _w(geo, "sensor_zenith_angle", granule.thetav)
+        _w(geo, "sensor_azimuth_angle", granule.phiv)
+        _w(obs, "i", granule.i)
+        _w(svb, "sensor_view_angle", granule.view_angles)
+        _w(svb, "intensity_wavelength", granule.wavelengths)

@@ -1,0 +1,142 @@
+"""Tests for the data layer: synthetic granule, HARP2 dataset, batching."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atmonr_tpu.data import batching
+from atmonr_tpu.data.granule import get_indexes, read_granule
+from atmonr_tpu.data.harp2 import HARP2Dataset
+from atmonr_tpu.data.synthetic import make_synthetic_granule, write_granule_l1b
+from atmonr_tpu.geo import wgs84
+
+CONFIG = {
+    "type": "HARP2",
+    "max_abs_view_angle": 45.0,
+    "ray_origin_height": 20000,
+    "bands_to_keep": [0, 1, 2, 3],
+    "rgb_mode": "nadir",
+}
+
+
+@pytest.fixture(scope="module")
+def granule():
+    return make_synthetic_granule(height=12, width=8, views_per_band=2)
+
+
+@pytest.fixture(scope="module")
+def dataset(granule):
+    return HARP2Dataset(CONFIG, granule)
+
+
+def test_get_indexes_irgb_order(granule):
+    view_idx, irgb_idx = get_indexes(granule, 90.0)
+    # sorted by decreasing wavelength: IR first, then R, G, B
+    assert (np.diff(granule.wavelengths[view_idx]) <= 0).all()
+    assert (np.sort(irgb_idx) == irgb_idx).all()
+    assert set(irgb_idx.tolist()) == {0, 1, 2, 3}
+
+
+def test_view_angle_filtering(granule):
+    view_idx, _ = get_indexes(granule, 20.0)
+    assert (np.abs(granule.view_angles[view_idx]) <= 20.0).all()
+
+
+def test_dataset_ray_geometry(dataset):
+    assert dataset.num_rays > 0
+    # origins sit at ray_origin_height above ellipsoid
+    o = dataset.ray_origin.astype(np.float64)
+    _, _, alt = wgs84.cartesian_to_horizontal(o[:, 0], o[:, 1], o[:, 2], xp=np)
+    assert np.max(np.abs(alt - 20000.0)) < 15.0
+    # normalized origins live in [-1, 1]
+    assert dataset.ray_origin_norm.min() >= -1.0
+    assert dataset.ray_origin_norm.max() <= 1.0
+    assert dataset.scale > 0
+    # invalid radiances filtered
+    assert not np.isnan(dataset.ray_rad).any()
+
+
+def test_dataset_irgb_per_ray(dataset):
+    assert dataset.ray_irgb_idx.shape == (dataset.num_rays,)
+    assert set(np.unique(dataset.ray_irgb_idx).tolist()) <= {0, 1, 2, 3}
+
+
+def test_point_preprocessor_bounds_and_altitude(dataset):
+    pre = dataset.get_point_preprocessor("horizontal")
+    rays = dataset.rays()
+    # points along rays: origin + t*dir*len
+    t = jnp.linspace(0.1, 0.9, 5)[None, :, None]
+    pts = (
+        rays["origin"][:16, None]
+        + rays["dir"][:16, None] * t * rays["len"][:16, None, None]
+    )
+    coords = pre(pts)
+    assert coords.shape == pts.shape
+    assert float(jnp.min(coords)) >= -1.0 and float(jnp.max(coords)) <= 1.0
+    # altitude channel decreases monotonically toward the surface
+    alt = np.asarray(coords[..., 2])
+    assert (np.diff(alt, axis=1) < 0).mean() > 0.95
+
+
+def test_preprocessor_inverts_surface_points(dataset):
+    """Ray end points map back to their (normalized) known lat/lon."""
+    pre = dataset.get_point_preprocessor("horizontal")
+    rays = dataset.rays()
+    ends = rays["origin"] + rays["dir"] * rays["len"][:, None]
+    coords = np.asarray(pre(ends))
+    st = dataset.scene_transform
+    lat = (coords[:, 0] + 1) / 2 * st.lat_range + st.lat_min
+    valid_lat = dataset.lat.flatten()[dataset.ray_filter]
+    assert np.nanmax(np.abs(lat - valid_lat)) < 0.01  # degrees
+
+
+def test_rgb_image(dataset):
+    target = dataset.target_image()
+    cube = target.transpose(2, 0, 1)
+    rgb = dataset.get_rgb(cube)
+    assert rgb.shape == (dataset.img_shp[0], dataset.img_shp[1], 3)
+    assert rgb.min() >= 0 and rgb.max() <= 1
+
+
+def test_granule_file_roundtrip(tmp_path, granule):
+    path = tmp_path / "synthetic_l1b.nc"
+    write_granule_l1b(granule, path)
+    g2 = read_granule(path)
+    assert g2.level == "L1B"
+    np.testing.assert_allclose(g2.lat, granule.lat, rtol=1e-12)
+    np.testing.assert_allclose(g2.wavelengths, granule.wavelengths)
+    # NaNs preserved through fill-value encoding
+    assert np.isnan(g2.i).sum() == np.isnan(granule.i).sum()
+    ds = HARP2Dataset(CONFIG, g2)
+    assert ds.num_rays > 0
+
+
+def test_epoch_permutation_and_gather(dataset):
+    rays = dataset.rays()
+    n = dataset.num_rays
+    bs = 32
+    perm = batching.epoch_permutation(jax.random.PRNGKey(0), n, bs)
+    nb = n // bs
+    assert perm.shape == (nb * bs,)
+    assert len(np.unique(np.asarray(perm))) == nb * bs  # no repeats
+
+    batch = batching.batch_at_step(rays, perm, jnp.asarray(2), bs)
+    assert batch["origin"].shape == (bs, 3)
+    assert batch["rad"].shape == (bs,)
+    np.testing.assert_array_equal(
+        np.asarray(batch["idx"]), np.asarray(perm[2 * bs : 3 * bs])
+    )
+    # gathered values match direct indexing
+    np.testing.assert_array_equal(
+        np.asarray(batch["origin"]),
+        np.asarray(rays["origin"])[np.asarray(batch["idx"])],
+    )
+
+
+def test_sequential_indices_cover_everything(dataset):
+    n, bs = dataset.num_rays, 37
+    idx = batching.sequential_indices(n, bs)
+    mask = batching.valid_mask(n, bs)
+    covered = np.asarray(idx)[np.asarray(mask)]
+    assert (covered == np.arange(n)).all()
