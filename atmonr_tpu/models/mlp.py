@@ -86,17 +86,10 @@ def atmonerf_init(
         pos_channels, dir_channels, out_channels, volume_channels, hidden_dim
     )
     keys = jax.random.split(key, len(dims))
-    params = {
+    return {
         f"fc{i + 1}": linear_init(k, o, i_)
         for i, (k, (o, i_)) in enumerate(zip(keys, dims))
     }
-    params["_meta"] = {
-        "pos_channels": pos_channels,
-        "dir_channels": dir_channels,
-        "hidden_dim": hidden_dim,
-        "volume_channels": volume_channels,
-    }
-    return params
 
 
 def atmonerf_forward_pos_only(
@@ -106,9 +99,11 @@ def atmonerf_forward_pos_only(
 
     Returns (features (M, hidden+vol), sigma (M, vol)); with ``noise_key``
     set, standard-normal noise is added to sigma pre-ReLU (training-time
-    regularization, reference models/nerf.py:70-71).
+    regularization, reference models/nerf.py:70-71). Layer dimensions are
+    derived from the weight shapes so the params pytree stays pure arrays
+    (grad/optax-safe).
     """
-    hidden = params["_meta"]["hidden_dim"]
+    hidden = params["fc1"]["w"].shape[0]
     relu = jax.nn.relu
     x = relu(linear_apply(params["fc1"], x_pos))
     x = relu(linear_apply(params["fc2"], x))
@@ -135,8 +130,8 @@ def atmonerf_apply(
     Parity: reference models/nerf.py:75-93 (sigmoid color head; exp-clamp
     color activation is applied by the pipeline, not here).
     """
-    meta = params["_meta"]
-    pos_ch, hidden = meta["pos_channels"], meta["hidden_dim"]
+    pos_ch = params["fc1"]["w"].shape[1]
+    hidden = params["fc1"]["w"].shape[0]
     x_pos, d = x[:, :pos_ch], x[:, pos_ch:]
     feats, sigma = atmonerf_forward_pos_only(params, x_pos, noise_key)
     h = jnp.concatenate([feats[:, :hidden], d], axis=1)

@@ -1,0 +1,233 @@
+"""Instant-NGP pipeline (no occupancy grid) with a separate surface branch.
+
+Functional parity with reference ``pipelines/instant_ngp.py:23-297``,
+replacing tiny-cuda-nn's CUDA modules with TPU-native equivalents:
+
+- ``HashGrid`` encodings -> ``atmonr_tpu.models.hash_grid`` (pure-XLA gather
+  path; the fused Pallas hash-encode+MLP path in ``atmonr_tpu.ops`` is used
+  on TPU for the hot pos branch);
+- ``FullyFusedMLP`` -> ``atmonr_tpu.models.mlp.small_mlp_*`` (bias-free
+  narrow ReLU MLPs, bf16 matmuls on the MXU);
+- ``SphericalHarmonics``/``Composite``/``Identity`` -> config-driven
+  composite encoder (``atmonr_tpu.models.encoders``).
+
+Structure per the reference: 1024 uniform samples/ray; 3-D hash encoding of
+[0,1]-remapped, altitude-compressed points -> density MLP (16 outputs, first
+1-or-num_bands are densities); SH(dirs) + identity(features) -> color MLP;
+surface branch: 2-D hash of the remapped surface point + SH(dirs) -> surface
+color MLP; ReLU activations; ``render_with_surface`` compositing; selectable
+loss; AdamW with weight decay on MLPs only.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from atmonr_tpu.models import hash_grid as hg
+from atmonr_tpu.models.encoders import (
+    apply_composite,
+    composite_output_dim,
+    init_composite,
+    parse_encoding_config,
+)
+from atmonr_tpu.models.mlp import small_mlp_apply, small_mlp_init
+from atmonr_tpu.ops.compositor import render_with_surface
+from atmonr_tpu.ops.samplers import append_heights, sample_uniform_bins
+from atmonr_tpu.ops.losses import get_loss
+from atmonr_tpu.pipelines.base import Pipeline
+
+_POS_MLP_OUT = 16  # intermediate width of the density MLP (reference :66)
+
+
+class InstantNGPPipeline(Pipeline):
+    """Instant-NGP (Mueller et al. 2022) adapted to atmospheric satellite data."""
+
+    def __init__(self, config: dict, dataset) -> None:
+        super().__init__(config, dataset)
+        self.num_density_outputs = (
+            config["num_bands"] if config["multi_band_extinction"] else 1
+        )
+        self.num_inputs = 4 if config["include_height"] else 3
+        ngp = config["instant_ngp"]
+
+        self.pos_cfg = hg.HashGridConfig.from_options(
+            ngp["encoding"], self.num_inputs
+        )
+        self.dir_specs = parse_encoding_config(ngp["dir_encoding"])
+        self.dir_in_dims = 3 + _POS_MLP_OUT - self.num_density_outputs
+        self.dir_enc_dims = composite_output_dim(self.dir_specs, self.dir_in_dims)
+        self.surf_specs = parse_encoding_config(ngp["surface_encoding"])
+        self.surf_in_dims = 2 + 3
+        self.surf_enc_dims = composite_output_dim(
+            self.surf_specs, self.surf_in_dims
+        )
+
+        self.max_i = dataset.max_i
+        self.loss_fn = get_loss(config["loss"])
+        # bf16 matmuls on the MXU mirror tcnn's fp16 tensor-core compute;
+        # parity tests force f32 via this flag.
+        self.compute_dtype = jnp.bfloat16
+
+    def init_params(self, key: jax.Array) -> dict:
+        ngp = self.config["instant_ngp"]
+        keys = jax.random.split(key, 6)
+        return {
+            "pos_table": hg.init_hash_table(keys[0], self.pos_cfg),
+            "pos_mlp": small_mlp_init(
+                keys[1],
+                in_dim=self.pos_cfg.n_output_dims,
+                out_dim=_POS_MLP_OUT,
+                n_neurons=int(ngp["network"]["n_neurons"]),
+                n_hidden_layers=int(ngp["network"]["n_hidden_layers"]),
+            ),
+            "dir_mlp": small_mlp_init(
+                keys[2],
+                in_dim=self.dir_enc_dims,
+                out_dim=self.config["num_bands"],
+                n_neurons=int(ngp["rgb_network"]["n_neurons"]),
+                n_hidden_layers=int(ngp["rgb_network"]["n_hidden_layers"]),
+            ),
+            "surf_enc": init_composite(keys[3], self.surf_specs, self.surf_in_dims),
+            "surf_mlp": small_mlp_init(
+                keys[4],
+                in_dim=self.surf_enc_dims,
+                out_dim=self.config["num_bands"],
+                n_neurons=int(ngp["surface_network"]["n_neurons"]),
+                n_hidden_layers=int(ngp["surface_network"]["n_hidden_layers"]),
+            ),
+        }
+
+    def _pos_branch(self, params: dict, pts_flat: jax.Array) -> jax.Array:
+        """Hash-encode + density MLP over flattened points -> (M, 16)."""
+        pos_enc = hg.hash_encode(params["pos_table"], pts_flat, self.pos_cfg)
+        return small_mlp_apply(
+            params["pos_mlp"], pos_enc, compute_dtype=self.compute_dtype
+        )
+
+    def forward(
+        self,
+        params: dict,
+        ray_batch: Mapping[str, jax.Array],
+        key: jax.Array | None = None,
+    ) -> dict[str, jax.Array]:
+        """One Instant-NGP forward (reference instant_ngp.py:129-206)."""
+        b = ray_batch["origin"].shape[0]
+        n = self.config["num_samples_per_ray"]
+        pts, z_vals = sample_uniform_bins(ray_batch, n, key=key)
+        pts_surf = (
+            ray_batch["origin"] + ray_batch["dir"] * ray_batch["len"][:, None]
+        )
+
+        if self.point_preprocessor:
+            pts = self.point_preprocessor(pts)
+
+        # Instant-NGP uses [0, 1], not [-1, 1]
+        pts = (pts + 1.0) / 2.0
+        pts_surf = (pts_surf + 1.0) / 2.0
+
+        if self.config["include_height"]:
+            pts = append_heights(
+                pts, self.ray_origin_height, self.scale, self.offset
+            )
+
+        dirs = jnp.broadcast_to(ray_batch["dir"][:, None], (b, n, 3))
+
+        # compress the altitude so the hash encoding behaves better
+        alt_c = pts[..., 2] / self.config["alt_compress_factor"]
+        pts = jnp.concatenate(
+            [pts[..., :2], alt_c[..., None], pts[..., 3:]], axis=-1
+        )
+
+        pos_out = self._pos_branch(params, jnp.reshape(pts, (b * n, -1)))
+        nd = self.num_density_outputs
+        dir_in = jnp.concatenate(
+            [jnp.reshape(dirs, (b * n, 3)), pos_out[:, nd:]], axis=1
+        )
+        dir_enc = apply_composite([{}] * len(self.dir_specs), self.dir_specs, dir_in)
+        color = small_mlp_apply(
+            params["dir_mlp"], dir_enc, compute_dtype=self.compute_dtype
+        )
+        color = jnp.reshape(color, (b, n, self.config["num_bands"]))
+
+        surf_in = jnp.concatenate([pts_surf[:, :2], dirs[:, 0]], axis=1)
+        surf_enc = apply_composite(params["surf_enc"], self.surf_specs, surf_in)
+        color_surf = small_mlp_apply(
+            params["surf_mlp"], surf_enc, compute_dtype=self.compute_dtype
+        )
+
+        sigma = jnp.reshape(pos_out[..., :nd], (b, n, -1))
+
+        color = jax.nn.relu(color)
+        color_surf = jax.nn.relu(color_surf)
+        sigma = jax.nn.relu(sigma)
+
+        color_map, _, weights, color_map_atmo, color_map_surf = (
+            render_with_surface(
+                z_vals * (self.scale / 1000.0), color, sigma, color_surf
+            )
+        )
+        return {
+            "color_fine": color[:, :-1],
+            "color_surf": color_surf,
+            "color_map_surf": color_map_surf,
+            "color_map_atmo": color_map_atmo,
+            "sigma_fine": sigma[:, :-1],
+            "color_map_fine": color_map,
+            "weights_fine": weights,
+            "z_vals_fine": z_vals,
+        }
+
+    def compute_loss(self, ray_batch, results) -> jax.Array:
+        """Selected loss on the ray's own band (reference instant_ngp.py:249-263)."""
+        pred = jnp.take_along_axis(
+            results["color_map_fine"], ray_batch["irgb_idx"][:, None], axis=1
+        )[:, 0]
+        gt = ray_batch["rad"].astype(pred.dtype)
+        return self.loss_fn(pred, gt, self.max_i)
+
+    def extract(self, params: dict, pts: jax.Array) -> jax.Array:
+        """Extinction at normalized-scene points (reference instant_ngp.py:208-247)."""
+        if self.point_preprocessor:
+            pts = self.point_preprocessor(pts[None])[0]
+        pts = (pts + 1.0) / 2.0
+        if self.config["include_height"]:
+            pts = append_heights(
+                pts[None], self.ray_origin_height, self.scale, self.offset
+            )[0]
+        alt_c = pts[..., 2] / self.config["alt_compress_factor"]
+        pts = jnp.concatenate(
+            [pts[..., :2], alt_c[..., None], pts[..., 3:]], axis=-1
+        )
+        pos_out = self._pos_branch(params, pts)
+        nd = self.num_density_outputs
+        return jnp.clip(pos_out[..., :nd].reshape(pts.shape[0], nd), min=0)
+
+    def make_optimizer(self, optimizer_config: dict, lr_schedule):
+        """AdamW; weight decay on MLPs only, not the hash tables
+        (reference instant_ngp.py:107-127)."""
+        b1, b2 = optimizer_config.get("betas", (0.9, 0.999))
+
+        def decay_mask(params):
+            def full(tree, val):
+                return jax.tree_util.tree_map(lambda _: val, tree)
+
+            return {
+                "pos_table": False,
+                "pos_mlp": full(params["pos_mlp"], True),
+                "dir_mlp": full(params["dir_mlp"], True),
+                "surf_enc": full(params["surf_enc"], False),
+                "surf_mlp": full(params["surf_mlp"], True),
+            }
+
+        return optax.adamw(
+            learning_rate=lr_schedule,
+            b1=b1,
+            b2=b2,
+            eps=optimizer_config.get("eps", 1e-8),
+            weight_decay=optimizer_config.get("weight_decay", 0.0),
+            mask=decay_mask,
+        )

@@ -19,12 +19,6 @@ def _params_from_golden():
             "w": jnp.asarray(g[f"w_fc{i}_weight"]),
             "b": jnp.asarray(g[f"w_fc{i}_bias"]),
         }
-    params["_meta"] = {
-        "pos_channels": int(g["pos_channels"]),
-        "dir_channels": int(g["dir_channels"]),
-        "hidden_dim": 64,
-        "volume_channels": 4,
-    }
     return params
 
 
