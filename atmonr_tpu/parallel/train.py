@@ -1,0 +1,161 @@
+"""Multi-chip training step: rays data-parallel, samples sample-parallel.
+
+Green-field TPU design (the reference is single-GPU only, scripts/train.py:94):
+
+- the ray batch and the HBM-resident ray store shard over the mesh "data"
+  axis; parameters are replicated, and their gradient all-reduce over ICI is
+  inserted by GSPMD when the jitted step differentiates a data-sharded loss;
+- the per-ray sample dimension shards over the "sample" axis inside a
+  ``shard_map``: each shard marches its contiguous slice of every ray, and
+  the Beer-Lambert partials combine exactly with three small collectives
+  (``ppermute`` boundary z exchange, ``all_gather`` of shard transmittance
+  totals, ``psum`` of weighted colors) — see
+  ``atmonr_tpu.parallel.sharding.render_partial``;
+- the surface branch (per-ray, no sample dim) and the loss/optimizer run in
+  the ordinary GSPMD region around the shard_map.
+
+XLA's latency-hiding scheduler overlaps the gradient all-reduce with the
+remaining backward computation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from atmonr_tpu.data import batching
+from atmonr_tpu.models.encoders import apply_composite
+from atmonr_tpu.models.mlp import small_mlp_apply
+from atmonr_tpu.parallel.sharding import render_partial
+
+
+def ngp_forward_sample_sharded(
+    pipe,
+    params: dict,
+    ray_batch: Mapping[str, jax.Array],
+    mesh: Mesh,
+    key: jax.Array | None = None,
+) -> dict[str, jax.Array]:
+    """Instant-NGP forward with the sample axis sharded over ``mesh["sample"]``.
+
+    Semantically equivalent to ``InstantNGPPipeline.forward`` (stratified
+    sampling is per-shard seeded, so randomness matches in distribution, not
+    bitwise). Batch arrays may simultaneously be sharded over "data".
+    """
+    n = pipe.config["num_samples_per_ray"]
+    ns = mesh.shape["sample"]
+    assert n % ns == 0, (n, ns)
+    n_loc = n // ns
+    num_bands = pipe.config["num_bands"]
+    nd = pipe.num_density_outputs
+    scale_km = pipe.scale / 1000.0
+
+    vol_params = {"pos_table": params["pos_table"], "pos_mlp": params["pos_mlp"],
+                  "dir_mlp": params["dir_mlp"]}
+    # raw (2,) uint32 key data crosses the shard_map boundary (replicated)
+    key_arr = jnp.zeros((2,), jnp.uint32) if key is None else key
+    use_key = key is not None
+
+    def vol(vp, origin, direction, length, karr):
+        s = jax.lax.axis_index("sample")
+        b = origin.shape[0]
+        # stratified sampling restricted to this shard's contiguous bins
+        bin_lefts = (jnp.arange(n_loc, dtype=origin.dtype) + s * n_loc) / n
+        if use_key:
+            k = jax.random.fold_in(karr, s)
+            k = jax.random.fold_in(k, jax.lax.axis_index("data"))
+            t = jax.random.uniform(k, (b, n_loc), dtype=origin.dtype)
+        else:
+            t = 0.5
+        z = (bin_lefts[None] + t / n) * length[:, None]
+        pts = origin[:, None] + direction[:, None] * z[..., None]
+
+        if pipe.point_preprocessor:
+            pts = pipe.point_preprocessor(pts)
+        pts = (pts + 1.0) / 2.0
+        alt_c = pts[..., 2] / pipe.config["alt_compress_factor"]
+        pts = jnp.concatenate([pts[..., :2], alt_c[..., None]], axis=-1)
+
+        pos_out = pipe._pos_branch(vp, jnp.reshape(pts, (b * n_loc, -1)))
+        dirs = jnp.broadcast_to(direction[:, None], (b, n_loc, 3))
+        dir_in = jnp.concatenate(
+            [jnp.reshape(dirs, (b * n_loc, 3)), pos_out[:, nd:]], axis=1
+        )
+        dir_enc = apply_composite(
+            [{}] * len(pipe.dir_specs), pipe.dir_specs, dir_in
+        )
+        color = small_mlp_apply(
+            vp["dir_mlp"], dir_enc, compute_dtype=pipe.compute_dtype
+        )
+        color = jax.nn.relu(jnp.reshape(color, (b, n_loc, num_bands)))
+        sigma = jax.nn.relu(jnp.reshape(pos_out[..., :nd], (b, n_loc, -1)))
+
+        color_map_atmo, trans_total, _, weights = render_partial(
+            z * scale_km, color, sigma, "sample"
+        )
+        return color_map_atmo, trans_total, weights
+
+    color_map_atmo, trans_total, weights = jax.shard_map(
+        vol,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data"), P()),
+        out_specs=(P("data"), P("data"), P("data", "sample")),
+        check_vma=False,
+    )(
+        vol_params,
+        ray_batch["origin"],
+        ray_batch["dir"],
+        ray_batch["len"],
+        key_arr,
+    )
+
+    # surface branch: per-ray, ordinary GSPMD region
+    pts_surf = (
+        ray_batch["origin"] + ray_batch["dir"] * ray_batch["len"][:, None]
+    )
+    pts_surf = (pts_surf + 1.0) / 2.0
+    surf_in = jnp.concatenate([pts_surf[:, :2], ray_batch["dir"]], axis=1)
+    surf_enc = apply_composite(params["surf_enc"], pipe.surf_specs, surf_in)
+    color_surf = jax.nn.relu(
+        small_mlp_apply(
+            params["surf_mlp"], surf_enc, compute_dtype=pipe.compute_dtype
+        )
+    )
+
+    color_map_surf = trans_total * color_surf
+    color_map = color_map_atmo + color_map_surf
+    return {
+        "color_map_fine": color_map,
+        "color_map_atmo": color_map_atmo,
+        "color_map_surf": color_map_surf,
+        "color_surf": color_surf,
+        "weights_fine": weights,
+    }
+
+
+def make_ngp_sharded_train_step(pipe, optimizer, mesh: Mesh, batch_size: int):
+    """Jitted multi-chip train step: gather -> sharded forward -> loss ->
+    grads (ICI all-reduce) -> optax update."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(train_state, rays, perm, step_in_epoch, global_step):
+        batch = batching.batch_at_step(rays, perm, step_in_epoch, batch_size)
+        key = jax.random.fold_in(jax.random.PRNGKey(0), global_step)
+
+        def loss_fn(params):
+            results = ngp_forward_sample_sharded(pipe, params, batch, mesh, key)
+            return pipe.compute_loss(batch, results)
+
+        loss, grads = jax.value_and_grad(loss_fn)(train_state["params"])
+        updates, opt_state = optimizer.update(
+            grads, train_state["opt_state"], train_state["params"]
+        )
+        params = optax.apply_updates(train_state["params"], updates)
+        return {"params": params, "opt_state": opt_state}, loss
+
+    return step

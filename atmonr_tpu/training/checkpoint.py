@@ -1,0 +1,64 @@
+"""Checkpointing via Orbax (param/opt-state pytrees, per-epoch directories).
+
+TPU-native replacement for the reference's ``torch.save`` per-epoch ``.pt``
+files (``trainer.py:239-274``): Orbax writes sharded pytrees and supports
+async multi-host checkpointing; layout is ``<output>/epoch_NNNN`` with
+restore-latest by epoch number (same selection rule as reference
+``trainer.py:265-266``).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+from typing import Any
+
+import orbax.checkpoint as ocp
+
+_EPOCH_RE = re.compile(r"epoch_(\d+)$")
+
+
+def save_checkpoint(
+    output_path: str | Path, epoch: int, state: Any, extra: dict | None = None
+) -> Path:
+    """Save ``state`` (a pytree) under ``<output>/epoch_{epoch:04d}``."""
+    output_path = Path(output_path).resolve()
+    ckpt_dir = output_path / f"epoch_{epoch:04d}"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(ckpt_dir, state, force=True)
+    ckptr.wait_until_finished()
+    if extra is not None:
+        with open(output_path / f"epoch_{epoch:04d}.meta.json", "w") as f:
+            json.dump(extra, f)
+    return ckpt_dir
+
+
+def latest_epoch(output_path: str | Path) -> int | None:
+    """Highest saved epoch number, or None."""
+    output_path = Path(output_path)
+    epochs = [
+        int(m.group(1))
+        for p in output_path.glob("epoch_*")
+        if p.is_dir() and (m := _EPOCH_RE.search(p.name))
+    ]
+    return max(epochs) if epochs else None
+
+
+def restore_checkpoint(
+    output_path: str | Path, template: Any, epoch: int | None = None
+) -> tuple[Any, int, dict]:
+    """Restore the given (or latest) epoch into ``template``'s structure.
+
+    Returns (state, epoch, extra_metadata).
+    """
+    output_path = Path(output_path).resolve()
+    if epoch is None:
+        epoch = latest_epoch(output_path)
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoints under {output_path}")
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(output_path / f"epoch_{epoch:04d}", template)
+    meta_path = output_path / f"epoch_{epoch:04d}.meta.json"
+    extra = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+    return state, epoch, extra

@@ -1,0 +1,266 @@
+"""Training runtime: one jitted step covering gather->forward->loss->backward
+->update->progress-scatter, plus the host-side epoch loop for metrics,
+logging, checkpointing, and profiling.
+
+TPU-native counterpart of reference ``trainer.py:16-274``. Key redesigns:
+
+- the whole step (including the batch gather out of the HBM-resident ray set
+  and the progress-pixel scatter) is ONE donated jitted function — there is
+  no per-iteration host<->device traffic; the reference's per-iter
+  ``.cpu().numpy()`` progress writes (trainer.py:123-140) become a device
+  scatter fetched once per epoch;
+- the LR schedule lives inside the optimizer (optax step count), replacing
+  the two torch scheduler objects;
+- profiling uses ``jax.profiler`` traces (XProf/TensorBoard), replacing the
+  torch profiler (reference trainer.py:221-237);
+- checkpoints are Orbax pytrees per epoch with restore-latest resume.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from datetime import datetime
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from atmonr_tpu.data import batching
+from atmonr_tpu.training import checkpoint as ckpt
+from atmonr_tpu.training.metrics import image_metrics
+from atmonr_tpu.training.schedules import make_lr_schedule
+
+
+class _ScalarLogger:
+    """TensorBoard writer when available, JSONL always."""
+
+    def __init__(self, log_dir: Path) -> None:
+        log_dir.mkdir(parents=True, exist_ok=True)
+        self.jsonl = open(log_dir / "metrics.jsonl", "a")
+        self.tb = None
+        try:
+            from torch.utils.tensorboard.writer import SummaryWriter
+
+            self.tb = SummaryWriter(str(log_dir))
+        except Exception:
+            pass
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        self.jsonl.write(
+            json.dumps({"tag": tag, "value": float(value), "step": int(step)})
+            + "\n"
+        )
+        if self.tb is not None:
+            self.tb.add_scalar(tag, value, step)
+
+    def image(self, tag: str, img_hwc: np.ndarray, step: int) -> None:
+        if self.tb is not None:
+            self.tb.add_image(tag, np.transpose(img_hwc, (2, 0, 1)), step)
+
+    def flush(self) -> None:
+        self.jsonl.flush()
+        if self.tb is not None:
+            self.tb.flush()
+
+
+class Trainer:
+    """Trains a neural rendering pipeline on a HARP2 ray dataset."""
+
+    def __init__(
+        self,
+        config: dict,
+        dataset,
+        pipeline,
+        exp_name: str,
+        data_root: str | Path = "data",
+        seed: int = 0,
+    ) -> None:
+        self.config = config
+        self.dataset = dataset
+        self.pipeline = pipeline
+        self.batch_size = int(config["batch_size"])
+        self.num_iters = int(config["num_iters"])
+        self.print_frequency = int(config.get("print_frequency", 10))
+
+        self.rays = dataset.rays()
+        self.steps_per_epoch = max(1, len(dataset) // self.batch_size)
+        self.num_epochs = -(-self.num_iters // self.steps_per_epoch)
+
+        lr_schedule = make_lr_schedule(
+            config["scheduler"],
+            config["optimizer"],
+            self.num_iters,
+            self.steps_per_epoch,
+        )
+        self.optimizer = pipeline.make_optimizer(config["optimizer"], lr_schedule)
+
+        key = jax.random.PRNGKey(seed)
+        self.base_key, init_key, self.perm_key = jax.random.split(key, 3)
+        params = pipeline.init_params(init_key)
+        n = len(dataset)
+        self.state = {
+            "params": params,
+            "opt_state": self.optimizer.init(params),
+            "pred_pixels": jnp.zeros((n,), jnp.float32),
+            "pred_pixels_surf": jnp.zeros((n,), jnp.float32),
+            "pred_pixels_atmo": jnp.zeros((n,), jnp.float32),
+        }
+        self.epoch_idx = 0
+        self.iter_count = 0
+
+        now = datetime.now().strftime("%Y%m%d_%H%M%S")
+        self.tensorboard_dir = (
+            Path(data_root) / "tensorboard" / f"{exp_name}_{now}"
+        )
+        self.logger = _ScalarLogger(self.tensorboard_dir)
+
+        self._train_step = jax.jit(self._step, donate_argnums=(0,))
+
+    # -- the jitted step -----------------------------------------------------
+
+    def _step(self, state, rays, perm, step_in_epoch, global_step):
+        batch = batching.batch_at_step(
+            rays, perm, step_in_epoch, self.batch_size
+        )
+        key = jax.random.fold_in(self.base_key, global_step)
+
+        def loss_fn(params):
+            results = self.pipeline.forward(params, batch, key)
+            return self.pipeline.compute_loss(batch, results), results
+
+        (loss, results), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"]
+        )
+        updates, opt_state = self.optimizer.update(
+            grads, state["opt_state"], state["params"]
+        )
+        params = optax.apply_updates(state["params"], updates)
+
+        irgb = batch["irgb_idx"][:, None]
+
+        def band_pred(name):
+            if name not in results:  # NeRF has no surface/atmo split
+                return jnp.zeros((irgb.shape[0],), jnp.float32)
+            return jnp.take_along_axis(results[name], irgb, axis=1)[:, 0]
+
+        idx = batch["idx"]
+        new_state = {
+            "params": params,
+            "opt_state": opt_state,
+            "pred_pixels": state["pred_pixels"]
+            .at[idx]
+            .set(band_pred("color_map_fine").astype(jnp.float32)),
+            "pred_pixels_surf": state["pred_pixels_surf"]
+            .at[idx]
+            .set(band_pred("color_map_surf").astype(jnp.float32)),
+            "pred_pixels_atmo": state["pred_pixels_atmo"]
+            .at[idx]
+            .set(band_pred("color_map_atmo").astype(jnp.float32)),
+        }
+        return new_state, loss
+
+    # -- the epoch loop ------------------------------------------------------
+
+    def train(self, output_path: str | Path, profile: bool = False) -> None:
+        output_path = Path(output_path)
+        output_path.mkdir(parents=True, exist_ok=True)
+        running: list[Any] = []
+        last_len = 0
+        profiling = False
+        if profile:
+            jax.profiler.start_trace(str(self.tensorboard_dir))
+            profiling = True
+
+        while self.iter_count < self.num_iters:
+            self.perm_key, sub = jax.random.split(self.perm_key)
+            perm = batching.epoch_permutation(
+                sub, len(self.dataset), self.batch_size
+            )
+            for i in range(self.steps_per_epoch):
+                self.state, loss = self._train_step(
+                    self.state, self.rays, perm, i, self.iter_count
+                )
+                self.iter_count += 1
+                running = running[-self.print_frequency :] + [loss]
+                if self.iter_count % self.print_frequency == 0:
+                    mean_loss = float(jnp.mean(jnp.stack(running)))
+                    self.logger.scalar("Loss", mean_loss, self.iter_count)
+                    line = (
+                        f"{self.iter_count}/{self.num_iters} | "
+                        f"Loss: {mean_loss:.5f}"
+                    )
+                    print(line + max(0, last_len - len(line)) * " ", end="\r")
+                    last_len = len(line)
+                if self.iter_count >= self.num_iters:
+                    break
+
+            self.epoch_idx += 1
+            self._end_of_epoch(last_len)
+            self.save(output_path, self.epoch_idx)
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
+        if profiling:
+            jax.profiler.stop_trace()
+        print()
+
+    def _end_of_epoch(self, last_len: int = 0) -> None:
+        ds = self.dataset
+        pred_pixels = np.asarray(self.state["pred_pixels"])
+        pred_img = ds.scatter_image(pred_pixels)
+        target_img = ds.target_image()
+        metrics = image_metrics(pred_img, target_img, ds.max_i)
+        line = f"Epoch {self.epoch_idx}/{self.num_epochs}"
+        for name, val in metrics.items():
+            if isinstance(val, list):
+                continue
+            line += f" | {name}: {val:.3f}"
+            self.logger.scalar(name, val, self.epoch_idx)
+        print(line + max(0, last_len - len(line)) * " ")
+
+        # side-by-side RGB comparison: surface | atmosphere | full | target
+        pred_surf = ds.scatter_image(np.asarray(self.state["pred_pixels_surf"]))
+        pred_atmo = ds.scatter_image(np.asarray(self.state["pred_pixels_atmo"]))
+        viz = np.concatenate(
+            [
+                ds.get_rgb(pred_surf.transpose(2, 0, 1)),
+                ds.get_rgb(pred_atmo.transpose(2, 0, 1)),
+                ds.get_rgb(pred_img.transpose(2, 0, 1)),
+                ds.get_rgb(target_img.transpose(2, 0, 1)),
+            ],
+            axis=1,
+        )
+        self.logger.image(f"Epoch {self.epoch_idx}", viz, self.epoch_idx)
+        self.logger.flush()
+
+    # -- checkpointing -------------------------------------------------------
+
+    def save(self, output_path: str | Path, epoch: int) -> None:
+        ckpt.save_checkpoint(
+            output_path,
+            epoch,
+            {"params": self.state["params"], "opt_state": self.state["opt_state"]},
+            extra={
+                "epoch_idx": self.epoch_idx,
+                "iter_count": self.iter_count,
+                "tensorboard_dir": str(self.tensorboard_dir),
+            },
+        )
+
+    def load(self, output_path: str | Path) -> None:
+        template = {
+            "params": self.state["params"],
+            "opt_state": self.state["opt_state"],
+        }
+        restored, epoch, extra = ckpt.restore_checkpoint(output_path, template)
+        self.state["params"] = restored["params"]
+        self.state["opt_state"] = restored["opt_state"]
+        self.epoch_idx = int(extra.get("epoch_idx", epoch))
+        self.iter_count = int(extra.get("iter_count", epoch * self.steps_per_epoch))
+        if "tensorboard_dir" in extra:
+            self.tensorboard_dir = Path(extra["tensorboard_dir"])
+            self.logger = _ScalarLogger(self.tensorboard_dir)

@@ -1,0 +1,120 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atmonr_tpu.data.batching import batch_at_step, epoch_permutation
+from atmonr_tpu.data.harp2 import HARP2Dataset
+from atmonr_tpu.data.synthetic import make_synthetic_granule
+from atmonr_tpu.ops import compositor
+from atmonr_tpu.parallel.mesh import make_mesh, make_mesh_from_spec
+from atmonr_tpu.parallel.sharding import render_sample_sharded, replicate, shard_rays
+from atmonr_tpu.parallel.train import (
+    make_ngp_sharded_train_step,
+    ngp_forward_sample_sharded,
+)
+from atmonr_tpu.pipelines import get_pipeline
+
+from tests.test_pipelines import DATASET_CONFIG, NGP_CONFIG
+
+
+def test_mesh_construction():
+    mesh = make_mesh(data=4, sample=2)
+    assert mesh.shape == {"data": 4, "sample": 2}
+    mesh2 = make_mesh_from_spec("data=2,sample=4")
+    assert mesh2.shape == {"data": 2, "sample": 4}
+    mesh3 = make_mesh_from_spec("sample=2")
+    assert mesh3.shape == {"data": 4, "sample": 2}
+
+
+@pytest.mark.parametrize("ns", [2, 4, 8])
+def test_sample_sharded_render_matches_single_device(ns):
+    mesh = make_mesh(data=1, sample=ns)
+    rng = np.random.default_rng(0)
+    b, n, c = 8, 32, 4
+    z = np.sort(rng.uniform(0, 20, (b, n)).astype(np.float32), axis=-1)
+    color = rng.uniform(size=(b, n, c)).astype(np.float32)
+    sigma = (rng.uniform(size=(b, n, c)) * 0.3).astype(np.float32)
+
+    ref_cm, ref_alpha, ref_w = compositor.render(
+        jnp.asarray(z), jnp.asarray(color), jnp.asarray(sigma)
+    )
+    cm, trans, alpha, w = render_sample_sharded(
+        jnp.asarray(z), jnp.asarray(color), jnp.asarray(sigma), mesh
+    )
+    np.testing.assert_allclose(np.asarray(cm), np.asarray(ref_cm), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref_alpha), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(ref_w), rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(trans),
+        np.asarray(jnp.prod(1.0 - ref_alpha, axis=1)),
+        rtol=1e-5,
+        atol=1e-7,
+    )
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    granule = make_synthetic_granule(height=10, width=8, views_per_band=2)
+    return HARP2Dataset(DATASET_CONFIG, granule)
+
+
+def test_ngp_sample_sharded_forward_matches_unsharded(dataset):
+    """Deterministic (midpoint) forward: sharded == single-device bitmath."""
+    mesh = make_mesh(data=2, sample=4)
+    pipe = get_pipeline(NGP_CONFIG, dataset)
+    pipe.compute_dtype = None  # f32 for exact comparison
+    params = pipe.init_params(jax.random.PRNGKey(1))
+
+    rays = dataset.rays()
+    perm = epoch_permutation(jax.random.PRNGKey(0), dataset.num_rays, 64)
+    batch = batch_at_step(rays, perm, jnp.asarray(0), 64)
+
+    ref = pipe.forward(params, batch, key=None)
+
+    batch_sharded = {
+        k: jax.device_put(
+            v, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+        )
+        for k, v in batch.items()
+    }
+    params_rep = replicate(params, mesh)
+    out = ngp_forward_sample_sharded(pipe, params_rep, batch_sharded, mesh, key=None)
+
+    for name in ["color_map_fine", "color_map_atmo", "color_map_surf"]:
+        np.testing.assert_allclose(
+            np.asarray(out[name]), np.asarray(ref[name]), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_sharded_train_step_runs_and_reduces_loss(dataset):
+    mesh = make_mesh(data=4, sample=2)
+    pipe = get_pipeline(NGP_CONFIG, dataset)
+    params = pipe.init_params(jax.random.PRNGKey(1))
+    opt = pipe.make_optimizer(
+        {"lr": 1e-2, "betas": (0.9, 0.99), "eps": 1e-15, "weight_decay": 1e-2},
+        1e-2,
+    )
+    state = replicate({"params": params, "opt_state": opt.init(params)}, mesh)
+    rays = shard_rays(dataset.rays(), mesh)
+    n = rays["origin"].shape[0]
+    bs = 64
+    step = make_ngp_sharded_train_step(pipe, opt, mesh, bs)
+
+    perm = epoch_permutation(jax.random.PRNGKey(0), n, bs)
+    losses = []
+    for i in range(10):
+        state, loss = step(state, rays, perm, i % (n // bs), i)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_shard_rays_trims_and_places(dataset):
+    mesh = make_mesh(data=8, sample=1)
+    rays = shard_rays(dataset.rays(), mesh)
+    n = rays["origin"].shape[0]
+    assert n % 8 == 0
+    assert len(rays["origin"].sharding.device_set) == 8
