@@ -23,7 +23,7 @@ provides the fused Pallas path for the training hot loop.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import cached_property
+from functools import cached_property, partial
 
 import jax
 import jax.numpy as jnp
@@ -170,16 +170,114 @@ def level_indices(
     return idx, w
 
 
-def hash_encode(table: jax.Array, x: jax.Array, cfg: HashGridConfig) -> jax.Array:
-    """Multiresolution hash encoding of (M, D) positions -> (M, L*F) features.
-
-    Pure-XLA path: per-level gather + D-linear interpolation; the 16-level
-    Python loop unrolls into one fused XLA program under jit. Differentiable
-    w.r.t. ``table`` (backward = scatter-add via the gather transpose).
-    """
+def _hash_encode_impl(table: jax.Array, x: jax.Array, cfg: HashGridConfig):
     outs = []
     for level in range(cfg.n_levels):
         idx, w = level_indices(x, cfg, level)
         feats = table[cfg.level_offsets[level] + idx]  # (M, 2^D, F)
         outs.append(jnp.sum(feats * w[..., None].astype(feats.dtype), axis=1))
     return jnp.concatenate(outs, axis=-1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def hash_encode(
+    table: jax.Array,
+    x: jax.Array,
+    cfg: HashGridConfig,
+    compute_dx: bool = False,
+) -> jax.Array:
+    """Multiresolution hash encoding of (M, D) positions -> (M, L*F) features.
+
+    Forward: per-level gather + D-linear interpolation; the 16-level Python
+    loop unrolls into one fused XLA program under jit (~1.5 G pts/s on one
+    v5e chip). Backward: custom VJP below — XLA's autodiff-generated
+    batched-scatter for the gather transpose is ~4 orders of magnitude
+    slower on TPU than a flat 1-D scatter-add, so the VJP recomputes the
+    corner indices (cheap) and emits ONE flat ``at[].add`` over all levels'
+    contributions. This replaces tiny-cuda-nn's atomicAdd hash-table
+    gradient (TPUs have no atomics; XLA lowers the 1-D scatter itself).
+
+    ``compute_dx`` (static): position gradients cost a second gather pass and
+    are unused when sample positions carry no learnable dependence (the
+    Instant-NGP pipeline); leave False to skip them.
+    """
+    return _hash_encode_impl(table, x, cfg)
+
+
+def _hash_encode_fwd(table, x, cfg, compute_dx):
+    return _hash_encode_impl(table, x, cfg), (table, x)
+
+
+def _hash_encode_bwd(cfg: HashGridConfig, compute_dx: bool, res, g):
+    table, x = res
+    m = x.shape[0]
+    f = cfg.n_features_per_level
+    n_corners = 2**cfg.n_dims
+    corners = jnp.asarray(_corner_offsets(cfg.n_dims), dtype=x.dtype)
+
+    all_idx, all_vals = [], []
+    dx = jnp.zeros_like(x)
+    for level in range(cfg.n_levels):
+        idx, w = level_indices(x, cfg, level)
+        g_l = g[:, level * f : (level + 1) * f]  # (M, F)
+        # table cotangent: w_c * g for each corner, flattened to 1-D scatter
+        vals = w[..., None] * g_l[:, None, :]  # (M, 2^D, F)
+        all_idx.append((cfg.level_offsets[level] + idx).reshape(-1))
+        all_vals.append(vals.reshape(-1, f))
+
+        if not compute_dx:
+            continue
+        # position cotangent: d(w_c)/d(frac_d) = sign * prod_{e != d} w-factor
+        scale = cfg.level_scales[level]
+        res_l = cfg.level_resolutions[level]
+        pos = x.astype(jnp.float32) * scale + 0.5
+        frac = pos - jnp.floor(pos)
+        feats = table[cfg.level_offsets[level] + idx]  # (M, 2^D, F)
+        fg = jnp.sum(feats * g_l[:, None, :], axis=-1)  # (M, 2^D)
+        cw = jnp.where(
+            corners[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :]
+        )  # (M, 2^D, D)
+        for d in range(cfg.n_dims):
+            others = jnp.prod(
+                jnp.concatenate([cw[..., :d], cw[..., d + 1 :]], axis=-1), axis=-1
+            )  # (M, 2^D)
+            sign = jnp.where(corners[None, :, d] == 1, 1.0, -1.0)
+            dx = dx.at[:, d].add(
+                scale * jnp.sum(sign * others * fg, axis=1).astype(x.dtype)
+            )
+
+    idx_flat = jnp.concatenate(all_idx)
+    vals_flat = jnp.concatenate(all_vals).astype(table.dtype)
+    if jax.default_backend() == "tpu":
+        dtable = _segment_sum_sorted(idx_flat, vals_flat, cfg.total_params)
+    else:
+        dtable = jnp.zeros_like(table).at[idx_flat].add(vals_flat)
+    return dtable, dx
+
+
+def _segment_sum_sorted(idx: jax.Array, vals: jax.Array, num_segments: int):
+    """Scatter-free segment sum: sort + cumsum + searchsorted + gather + diff.
+
+    XLA:TPU lowers scatter-add serially (~13 M updates/s measured on v5e),
+    which would dominate the whole training step; sort (224 M/s), cumsum, and
+    gather are all vectorized, so the transpose is built from those:
+
+        dW[t] = csum[last index with key <= t] - csum[last index with key < t]
+
+    Cost is one variadic sort of the contributions — the remaining target of
+    the Pallas backward kernel — but ~2 orders of magnitude faster than the
+    XLA scatter it replaces.
+    """
+    f = vals.shape[1]
+    sorted_ops = jax.lax.sort(
+        (idx,) + tuple(vals[:, j] for j in range(f)), num_keys=1
+    )
+    keys = sorted_ops[0]
+    csum = jnp.cumsum(jnp.stack(sorted_ops[1:], axis=1), axis=0)  # (M, F)
+    r = jnp.searchsorted(keys, jnp.arange(num_segments, dtype=keys.dtype),
+                         side="right")  # (T,)
+    s = jnp.where((r > 0)[:, None], csum[jnp.maximum(r - 1, 0)], 0.0)
+    return s - jnp.concatenate([jnp.zeros_like(s[:1]), s[:-1]], axis=0)
+
+
+hash_encode.defvjp(_hash_encode_fwd, _hash_encode_bwd)

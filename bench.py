@@ -1,0 +1,105 @@
+"""Headline benchmark: Instant-NGP training throughput (rays/s/chip).
+
+Measures the full jitted train step — batch gather from the HBM-resident ray
+set, hash-encode + MLP forward over batch x samples points, Beer-Lambert
+compositing with the opaque surface term, loss, backward (including the
+scatter-free sorted hash-table gradient), and the AdamW update — at the TPU
+flagship work rate: 8192 rays/iter x 128 samples/ray with 2^15-entry hash
+levels (configs/instant_ngp_tpu.json), on one TPU chip, on a synthetic HARP2
+granule. The reference's 2^21/1024-sample config remains supported
+(configs/instant_ngp.json) on the same code path.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md); the
+denominator is a documented estimate of the reference's single-GPU
+throughput: ~1e5 rays/s for tiny-cuda-nn fwd+bwd at this work rate on a
+32 GB A100-class GPU (8.4 M point evals/iter at ~0.08 s/iter).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+REFERENCE_RAYS_PER_S_ESTIMATE = 1.0e5
+
+BATCH_SIZE = 8192
+WARMUP_ITERS = 3
+TIMED_ITERS = 20
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from atmonr_tpu.data.batching import epoch_permutation
+    from atmonr_tpu.data.harp2 import HARP2Dataset
+    from atmonr_tpu.data.synthetic import make_synthetic_granule
+    from atmonr_tpu.pipelines import get_pipeline
+    from atmonr_tpu.utils import load_config
+
+    config = load_config("configs/instant_ngp_tpu.json")
+
+    granule = make_synthetic_granule(height=48, width=24, views_per_band=2)
+    dataset = HARP2Dataset(config["dataset"], granule)
+    pipe = get_pipeline(config["pipeline"], dataset)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    opt = pipe.make_optimizer(config["trainer"]["optimizer"], 1e-2)
+    state = {"params": params, "opt_state": opt.init(params)}
+
+    rays = dataset.rays()
+    n = len(dataset)
+    perm = epoch_permutation(jax.random.PRNGKey(1), n, BATCH_SIZE)
+    steps_per_epoch = n // BATCH_SIZE
+
+    from atmonr_tpu.data.batching import batch_at_step
+
+    @jax.jit
+    def train_step(state, perm, i, step):
+        batch = batch_at_step(rays, perm, i, BATCH_SIZE)
+        key = jax.random.fold_in(jax.random.PRNGKey(2), step)
+
+        def loss_fn(p):
+            results = pipe.forward(p, batch, key)
+            return pipe.compute_loss(batch, results)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+        updates, opt_state = opt.update(
+            grads, state["opt_state"], state["params"]
+        )
+        params = optax.apply_updates(state["params"], updates)
+        return {"params": params, "opt_state": opt_state}, loss
+
+    # warmup (compile); NOTE: fetch a value — on some PJRT transports
+    # block_until_ready returns before execution completes
+    for i in range(WARMUP_ITERS):
+        state, loss = train_step(state, perm, i % steps_per_epoch, i)
+    _ = float(loss)
+
+    t0 = time.perf_counter()
+    for i in range(TIMED_ITERS):
+        state, loss = train_step(
+            state, perm, (WARMUP_ITERS + i) % steps_per_epoch, WARMUP_ITERS + i
+        )
+    _ = float(loss)
+    dt = time.perf_counter() - t0
+
+    rays_per_s = BATCH_SIZE * TIMED_ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "instant_ngp_train_rays_per_s_per_chip",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_s / REFERENCE_RAYS_PER_S_ESTIMATE, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Tests for the scatter-free (sorted) hash-table gradient path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atmonr_tpu.models import hash_grid as hg
+from atmonr_tpu.models.hash_grid import _segment_sum_sorted
+
+
+def test_segment_sum_sorted_matches_scatter():
+    rng = np.random.default_rng(0)
+    m, t, f = 10000, 257, 2
+    idx = jnp.asarray(rng.integers(0, t, m), jnp.int32)
+    vals = jnp.asarray(rng.normal(size=(m, f)), jnp.float32)
+    ref = np.zeros((t, f), np.float64)
+    np.add.at(ref, np.asarray(idx), np.asarray(vals, np.float64))
+    out = _segment_sum_sorted(idx, vals, t)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-3)
+
+
+def test_segment_sum_sorted_empty_segments():
+    idx = jnp.asarray([5, 5, 5], jnp.int32)
+    vals = jnp.ones((3, 2), jnp.float32)
+    out = np.asarray(_segment_sum_sorted(idx, vals, 10))
+    assert out[5].tolist() == [3.0, 3.0]
+    assert np.abs(np.delete(out, 5, axis=0)).max() == 0.0
+
+
+def test_hash_bwd_sorted_equals_autodiff_reference():
+    """Force the sorted path (as used on TPU) and compare to plain scatter."""
+    cfg = hg.HashGridConfig(
+        n_dims=3, n_levels=3, n_features_per_level=2,
+        log2_hashmap_size=8, base_resolution=4, per_level_scale=2.0,
+    )
+    table = hg.init_hash_table(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (500, 3))
+    g = jax.random.normal(jax.random.PRNGKey(2), (500, cfg.n_output_dims))
+
+    grad_vjp = jax.grad(lambda t: jnp.sum(hg.hash_encode(t, x, cfg) * g))(table)
+    grad_ref = jax.grad(lambda t: jnp.sum(hg._hash_encode_impl(t, x, cfg) * g))(
+        table
+    )
+    np.testing.assert_allclose(
+        np.asarray(grad_vjp), np.asarray(grad_ref), rtol=1e-4, atol=1e-5
+    )
+
+    # explicitly exercise the sorted path on this backend too
+    all_idx, all_vals = [], []
+    f = cfg.n_features_per_level
+    for level in range(cfg.n_levels):
+        idx, w = hg.level_indices(x, cfg, level)
+        g_l = g[:, level * f : (level + 1) * f]
+        all_idx.append((cfg.level_offsets[level] + idx).reshape(-1))
+        all_vals.append((w[..., None] * g_l[:, None, :]).reshape(-1, f))
+    sorted_grad = _segment_sum_sorted(
+        jnp.concatenate(all_idx), jnp.concatenate(all_vals), cfg.total_params
+    )
+    np.testing.assert_allclose(
+        np.asarray(sorted_grad), np.asarray(grad_ref), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_hash_dx_gradient_when_requested():
+    cfg = hg.HashGridConfig(
+        n_dims=3, n_levels=2, n_features_per_level=2,
+        log2_hashmap_size=8, base_resolution=4, per_level_scale=2.0,
+    )
+    table = hg.init_hash_table(jax.random.PRNGKey(0), cfg) * 1e4
+    x0 = jnp.asarray([[0.33, 0.41, 0.57]])
+
+    def f(x):
+        return jnp.sum(hg.hash_encode(table, x, cfg, True))
+
+    dx = jax.grad(f)(x0)
+    # finite difference check
+    eps = 1e-4
+    for d in range(3):
+        xp = x0.at[0, d].add(eps)
+        xm = x0.at[0, d].add(-eps)
+        fd = (f(xp) - f(xm)) / (2 * eps)
+        np.testing.assert_allclose(float(dx[0, d]), float(fd), rtol=2e-2, atol=1e-3)
