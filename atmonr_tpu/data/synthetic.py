@@ -48,7 +48,9 @@ def make_synthetic_granule(
     rng.shuffle(bands)
     wavelengths = np.array([BAND_WAVELENGTHS[b] for b in bands])
 
-    lat_1d = lat0 - np.arange(height) * pixel_deg  # decreasing along-track
+    # the L1B product stores south-first; the loader's north-up flip then
+    # yields latitude decreasing with row index (the voxelgrid assumption)
+    lat_1d = lat0 + np.arange(height) * pixel_deg
     lon_1d = lon0 + np.arange(width) * pixel_deg
     lat2, lon2 = np.meshgrid(lat_1d, lon_1d, indexing="ij")
 
@@ -67,7 +69,7 @@ def make_synthetic_granule(
     phiv += rng.normal(scale=0.5, size=phiv.shape)
 
     # radiances: gaussian cloud bump + surface albedo, per-band scaling
-    cy, cx = lat0 - height * pixel_deg / 2, lon0 + width * pixel_deg / 2
+    cy, cx = lat0 + height * pixel_deg / 2, lon0 + width * pixel_deg / 2
     r2 = ((lat - cy) / (height * pixel_deg / 3)) ** 2 + (
         (lon - cx) / (width * pixel_deg / 3)
     ) ** 2
@@ -123,3 +125,34 @@ def write_granule_l1b(granule: GranuleArrays, path: str | Path) -> None:
         _w(obs, "i", granule.i)
         _w(svb, "sensor_view_angle", granule.view_angles)
         _w(svb, "intensity_wavelength", granule.wavelengths)
+
+
+def write_synthetic_earthcare(
+    path: str | Path,
+    n_along: int = 40,
+    n_height: int = 20,
+    lat0: float = 20.0,
+    lon0: float = -40.0,
+) -> None:
+    """Write a minimal EarthCARE ATL_EBD_2A-layout HDF5 track for testing
+    the earthcare extraction mode offline."""
+    import h5py
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    lat = lat0 - np.linspace(0, 0.4, n_along)
+    lon = lon0 + np.linspace(0, 0.2, n_along)
+    height = np.broadcast_to(
+        np.linspace(18000, 500, n_height)[None], (n_along, n_height)
+    ).copy()
+    with h5py.File(path, "w") as f:
+        f.create_dataset(
+            "HeaderData/FixedProductHeader/File_Type", data=b"ATL_EBD_2A"
+        )
+        sd = f.create_group("ScienceData")
+        for name, data in [("latitude", lat), ("longitude", lon), ("height", height)]:
+            ds = sd.create_dataset(name, data=data)
+            ds.attrs["units"] = b"deg" if name != "height" else b"m"
+            ds.attrs["long_name"] = name.encode()
+            ds.attrs["comment"] = b"synthetic test track"
+            ds.attrs["_FillValue"] = np.array([-9999.0])

@@ -1,0 +1,511 @@
+"""Extraction grids: sample-point sets for querying a trained model's
+extinction field, plus their dump formats.
+
+TPU-native counterpart of reference ``datasets/harp2_extract.py:38-946``.
+All grid construction is host-side numpy float64 (meter-accurate geodesy via
+``atmonr_tpu.geo``); the batched device query lives in
+``atmonr_tpu.extract.runner``. Four coordinate modes, as in the reference:
+
+- ``l1c``: horizontal grid from the matching HARP2 L1C product;
+- ``voxelgrid``: near-uniform geodesic grid built with Vincenty marching,
+  with DEM (ETOPO1) surface heights;
+- ``globalgrid``: spherical-Earth voxel grid from ray traversal, for
+  large-scale visualization (OpenVDB);
+- ``earthcare``: sample points along an EarthCARE ATL_EBD_2A track.
+"""
+
+from __future__ import annotations
+
+import warnings
+from pathlib import Path
+
+import numpy as np
+
+from atmonr_tpu.data.harp2 import HARP2Dataset
+from atmonr_tpu.extract.voxel_traversal import voxel_traversal
+from atmonr_tpu.extract.writers import (
+    extract_to_netcdf,
+    global_grid_dump,
+    earthcare_to_netcdf,
+)
+from atmonr_tpu.geo import spherical as sph
+from atmonr_tpu.geo import wgs84
+
+_CHUNK_SIZE = int(3e4)
+DEM_PATH = "data/ETOPO1_ocssw.nc"
+
+
+class HARP2ExtractDataset:
+    """Abstract base: holds (xyz, idx) sample points and a ``dump`` method."""
+
+    def __init__(self, dataset: HARP2Dataset) -> None:
+        if type(self) is HARP2ExtractDataset:
+            raise NotImplementedError
+        self.dataset = dataset
+        self.shp: tuple = (0, 0)
+        self.xyz = np.zeros((0, 3), np.float64)
+        self.idx = np.zeros((0,), np.int32)
+
+    def __len__(self) -> int:
+        return self.xyz.shape[0]
+
+    def dump(self, output_filepath: Path, sigma: np.ndarray) -> None:
+        raise NotImplementedError
+
+
+class _HARP2LocalExtractDataset(HARP2ExtractDataset):
+    """Base for non-global grids: adds the altitude ladder + netCDF dump."""
+
+    def __init__(
+        self,
+        dataset: HARP2Dataset,
+        alt_step: float,
+        min_alt: float | None = None,
+        max_alt: float | None = None,
+    ) -> None:
+        if type(self) is _HARP2LocalExtractDataset:
+            raise NotImplementedError
+        super().__init__(dataset)
+        self.alt_step = alt_step
+        self.min_alt = 0.0 if min_alt is None else min_alt
+        self.max_alt = (
+            dataset.config["ray_origin_height"] if max_alt is None else max_alt
+        )
+        self.sample_alt = np.arange(
+            self.min_alt, self.max_alt + self.alt_step / 2, self.alt_step
+        )
+
+    def _grid_from_latlon(self, lat2d: np.ndarray, lon2d: np.ndarray) -> None:
+        """Expand a horizontal (H, W) lat/lon grid by the altitude ladder."""
+        na = self.sample_alt.shape[0]
+        self.lat = np.repeat(lat2d[:, :, None], na, axis=2)
+        self.lon = np.repeat(lon2d[:, :, None], na, axis=2)
+        alt = np.broadcast_to(
+            self.sample_alt[None, None], self.lat.shape
+        )
+        x, y, z = wgs84.horizontal_to_cartesian(
+            self.lat.astype(np.float64),
+            self.lon.astype(np.float64),
+            alt.astype(np.float64),
+            xp=np,
+        )
+        self.xyz = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+        self.idx = np.arange(self.xyz.shape[0], dtype=np.int32)
+
+    def dump(self, output_filepath: Path, sigma: np.ndarray) -> None:
+        extract_to_netcdf(output_filepath, self, sigma)
+
+
+class HARP2L1CExtractDataset(_HARP2LocalExtractDataset):
+    """Horizontal grid from the matching L1C product (reference
+    harp2_extract.py:115-186). The L1C lat/lon define the horizontal spacing;
+    the vertical ladder is user-defined. For synthetic scenes with no L1C
+    product on disk, a pseudo-L1C grid is derived from the granule's per-pixel
+    mean geolocation (documented offline fallback).
+    """
+
+    def __init__(
+        self,
+        dataset: HARP2Dataset,
+        alt_step: float,
+        min_alt: float | None = None,
+        max_alt: float | None = None,
+        data_root: str | Path = "data",
+        **_: object,
+    ) -> None:
+        super().__init__(dataset, alt_step, min_alt, max_alt)
+
+        l1c = self._load_l1c(dataset, Path(data_root))
+        if l1c is not None:
+            lat2d, lon2d, height = l1c
+        else:
+            # offline fallback: per-pixel mean of the granule's view geoloc
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                lat2d = np.nanmean(
+                    dataset.lat.reshape(
+                        dataset.img_shp[0], dataset.img_shp[1], -1
+                    ),
+                    axis=-1,
+                )
+                lon2d = np.nanmean(
+                    dataset.lon.reshape(
+                        dataset.img_shp[0], dataset.img_shp[1], -1
+                    ),
+                    axis=-1,
+                )
+                height = np.nanmean(
+                    dataset.alt.reshape(
+                        dataset.img_shp[0], dataset.img_shp[1], -1
+                    ),
+                    axis=-1,
+                )
+        self.height = np.nan_to_num(height)
+        lat2d = np.nan_to_num(lat2d)
+        lon2d = np.nan_to_num(lon2d)
+        self.shp = (lat2d.shape[0], lat2d.shape[1], self.sample_alt.shape[0])
+        self._grid_from_latlon(lat2d, lon2d)
+
+    @staticmethod
+    def _load_l1c(dataset: HARP2Dataset, data_root: Path):
+        """Find + read the L1C product matching the loaded L1B granule."""
+        name = dataset.granule.product_name
+        parts = name.split(".")
+        if len(parts) < 4 or "SYNTHETIC" in name:
+            return None
+        sensor, timestamp, _, version = parts[:4]
+        l1c_name = f"{sensor}.{timestamp}.L1C.{version}.5km.nc"
+        path = data_root / "HARP2_L1C" / l1c_name
+        if not path.exists():
+            from atmonr_tpu.data.factory import download
+
+            download(l1c_name, path.parent, "L1C")
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            def rd(k):
+                arr = np.asarray(f[f"geolocation_data/{k}"][...], np.float64)
+                fill = f[f"geolocation_data/{k}"].attrs.get("_FillValue")
+                if fill is not None:
+                    arr[arr == np.asarray(fill).ravel()[0]] = np.nan
+                return np.ascontiguousarray(arr[::-1])  # North up
+
+            return rd("latitude"), rd("longitude"), rd("height")
+
+
+class HARP2VoxelGridExtractDataset(_HARP2LocalExtractDataset):
+    """User-defined voxel grid with near-uniform horizontal spacing despite
+    Earth curvature, built by Vincenty geodesic marching (reference
+    harp2_extract.py:189-348), plus bilinear DEM surface heights.
+    """
+
+    def __init__(
+        self,
+        dataset: HARP2Dataset,
+        horizontal_step: float,
+        alt_step: float,
+        min_alt: float | None = None,
+        max_alt: float | None = None,
+        dem_path: str | Path = DEM_PATH,
+        **_: object,
+    ) -> None:
+        super().__init__(dataset, alt_step, min_alt, max_alt)
+        self.horizontal_step = horizontal_step
+
+        nv = dataset.view_idx.shape[0]
+        lat_img = dataset.lat.reshape(list(dataset.img_shp) + [nv]).astype(
+            np.float64
+        )
+        lon_img = dataset.lon.reshape(list(dataset.img_shp) + [nv]).astype(
+            np.float64
+        )
+
+        # assumption checks (reference harp2_extract.py:233-240)
+        assert np.nanmean(lat_img[-1, 0] - lat_img[0, 0]) < 0
+        lon_mean_diff = np.nanmean(lon_img[0, -1] - lon_img[0, 0]) % 360
+        assert 0 < lon_mean_diff < 180
+        for i, j in [(0, 0), (0, -1), (-1, 0), (-1, -1)]:
+            assert not np.isnan(lat_img[i, j]).all()
+            assert not np.isnan(lon_img[i, j]).all()
+
+        lon_mean = np.nanmean(lon_img)
+        lon_shifted = lon_img - lon_mean
+
+        def _fix_lon(lon):
+            return (lon + 180.0) % 360.0 - 180.0
+
+        def _nmax(a):
+            return np.nanmax(a)
+
+        def _nmin(a):
+            return np.nanmin(a)
+
+        topleft = (
+            np.atleast_1d(_nmax(lat_img[0, 0])),
+            np.atleast_1d(_fix_lon(_nmin(lon_shifted[0, 0]) + lon_mean)),
+        )
+        botleft = (
+            np.atleast_1d(_nmin(lat_img[-1, 0])),
+            np.atleast_1d(_fix_lon(_nmin(lon_shifted[-1, 0]) + lon_mean)),
+        )
+        topright = (
+            np.atleast_1d(_nmax(lat_img[0, -1])),
+            np.atleast_1d(_fix_lon(_nmax(lon_shifted[0, -1]) + lon_mean)),
+        )
+        botright = (
+            np.atleast_1d(_nmin(lat_img[-1, -1])),
+            np.atleast_1d(_fix_lon(_nmax(lon_shifted[-1, -1]) + lon_mean)),
+        )
+
+        def _midpoint(a, b):
+            s, a1, _ = wgs84.vincenty_distance(a, b, xp=np)
+            (lat, lon), _ = wgs84.vincenty_point_along_geodesic(
+                a, a1, s / 2, xp=np
+            )
+            return (lat, lon)
+
+        topmid = _midpoint(topleft, topright)
+        leftmid = _midpoint(topleft, botleft)
+        rightmid = _midpoint(topright, botright)
+        botmid = _midpoint(botleft, botright)
+
+        dist_lr, _, _ = wgs84.vincenty_distance(leftmid, rightmid, xp=np)
+        dist_tb, _, _ = wgs84.vincenty_distance(topmid, botmid, xp=np)
+        dist_lr, dist_tb = float(dist_lr), float(dist_tb)
+
+        img_shp = (
+            int(dist_tb // horizontal_step),
+            int(dist_lr // horizontal_step),
+        )
+        pad = dist_tb % horizontal_step, dist_lr % horizontal_step
+
+        samples_tb = (
+            np.linspace(0, dist_tb - pad[0], img_shp[0]) + pad[0] / 2
+        ) / dist_tb
+        samples_lr = (
+            np.linspace(0, dist_lr - pad[1], img_shp[1]) + pad[1] / 2
+        ) / dist_lr
+
+        # march along the top and bottom edges, then down each column
+        along_top, top_azi, _ = wgs84.vincenty_distance(topleft, topright, xp=np)
+        along_bot, bot_azi, _ = wgs84.vincenty_distance(botleft, botright, xp=np)
+        samples_along_top, _ = wgs84.vincenty_point_along_geodesic(
+            np.stack([topleft[0], topleft[1]]),
+            np.asarray(top_azi),
+            samples_lr * float(along_top),
+            xp=np,
+        )  # (2, ncols)
+        samples_along_bot, _ = wgs84.vincenty_point_along_geodesic(
+            np.stack([botleft[0], botleft[1]]),
+            np.asarray(bot_azi),
+            samples_lr * float(along_bot),
+            xp=np,
+        )
+        col_dist, col_azi, _ = wgs84.vincenty_distance(
+            samples_along_top, samples_along_bot, xp=np
+        )  # each (ncols,)
+        (sample_lat, sample_lon), _ = wgs84.vincenty_point_along_geodesic(
+            (samples_along_top[0][None, :], samples_along_top[1][None, :]),
+            np.asarray(col_azi)[None, :],
+            samples_tb[:, None] * np.asarray(col_dist)[None, :],
+            xp=np,
+        )  # each (nrows, ncols)
+
+        self.height = interp_dem_height(dem_path, sample_lat, sample_lon)
+        self.shp = (img_shp[0], img_shp[1], self.sample_alt.shape[0])
+        self._grid_from_latlon(sample_lat, sample_lon)
+
+
+def interp_dem_height(
+    dem_path: str | Path, sample_lat: np.ndarray, sample_lon: np.ndarray
+) -> np.ndarray:
+    """Bilinear interpolation of the ETOPO1 DEM at the given coordinates.
+
+    Reads only the covering sub-window of the DEM (reference
+    harp2_extract.py:350-426); missing DEM -> zero heights with a warning
+    (offline environments).
+    """
+    dem_path = Path(dem_path)
+    if not dem_path.exists():
+        warnings.warn(
+            f"DEM {dem_path} not found; using zero surface heights."
+        )
+        return np.zeros_like(sample_lat)
+    import h5py
+
+    with h5py.File(dem_path, "r") as f:
+        def attr(name):
+            return float(np.asarray(f.attrs[name]).ravel()[0])
+
+        upper_lat = attr("upper_lat")
+        left_lon = attr("left_lon")
+        lat_res = attr("geospatial_lat_resolution")
+        lon_res = attr("geospatial_lon_resolution")
+        n_lat, n_lon = f["height"].shape
+
+        loc_lat = (upper_lat - sample_lat) / lat_res
+        loc_lon = (sample_lon - left_lon) / lon_res
+        idx_lat = np.clip((loc_lat // 1).astype(int), 0, n_lat - 2).flatten()
+        idx_lon = np.clip((loc_lon // 1).astype(int), 0, n_lon - 2).flatten()
+        rem_lat = (loc_lat % 1).flatten()
+        rem_lon = (loc_lon % 1).flatten()
+
+        la0, la1 = idx_lat.min(), idx_lat.max() + 2
+        lo0, lo1 = idx_lon.min(), idx_lon.max() + 2
+        height = np.asarray(f["height"][la0:la1, lo0:lo1], np.float64)
+        if "water_surface_height" in f:
+            wsh = np.asarray(
+                f["water_surface_height"][la0:la1, lo0:lo1], np.float64
+            )
+            height = np.maximum(height, wsh)
+        idx_lat, idx_lon = idx_lat - la0, idx_lon - lo0
+
+    corners = np.stack(
+        [
+            height[idx_lat, idx_lon],
+            height[idx_lat, idx_lon + 1],
+            height[idx_lat + 1, idx_lon],
+            height[idx_lat + 1, idx_lon + 1],
+        ]
+    )
+    weights = np.stack(
+        [
+            (1 - rem_lat) * (1 - rem_lon),
+            (1 - rem_lat) * rem_lon,
+            rem_lat * (1 - rem_lon),
+            rem_lat * rem_lon,
+        ]
+    )
+    interp = (corners * weights).sum(axis=0).reshape(sample_lat.shape)
+    return np.clip(interp, 0, None)
+
+
+class HARP2GlobalGridExtractDataset(HARP2ExtractDataset):
+    """Spherical-Earth global voxel grid for large-scale visualization
+    (reference harp2_extract.py:794-946): rays -> sphere coords, vertical
+    stretch, chunked voxel traversal, per-layer longitude crop, unstretch +
+    cull.
+    """
+
+    def __init__(
+        self,
+        dataset: HARP2Dataset,
+        scale: float,
+        grid_res: float,
+        vstretch: float | None = None,
+        lon_crop: float = 0.05,
+        **_: object,
+    ) -> None:
+        super().__init__(dataset)
+        vstretch = 1.0 if vstretch is None else vstretch
+        assert vstretch >= 1
+        self.scale = scale
+        self.grid_res = grid_res
+        self.vstretch = vstretch
+
+        ray_origin = sph.wgs_84_to_spherical(
+            dataset.ray_origin.astype(np.float64), xp=np
+        )
+        ray_dest = (
+            dataset.ray_origin
+            + dataset.ray_dir * dataset.ray_len[:, None]
+        ).astype(np.float64)
+        ray_dest = sph.wgs_84_to_spherical(ray_dest, xp=np)
+
+        ray_origin = sph.stretch_above_sea_level(ray_origin, vstretch, xp=np)
+        ray_dest = sph.stretch_above_sea_level(ray_dest, vstretch, xp=np)
+
+        ray_origin *= scale / grid_res
+        ray_dest *= scale / grid_res
+
+        xyz = np.zeros((0, 3), np.float64)
+        n = ray_origin.shape[0]
+        for i in range(n // _CHUNK_SIZE + 1):
+            start = min(n, i * _CHUNK_SIZE)
+            end = min(n, start + _CHUNK_SIZE)
+            if start == end:
+                continue
+            vox = voxel_traversal(
+                ray_origin[start:end], ray_dest[start:end], unique_only=False
+            )
+            xyz = np.unique(np.concatenate([xyz, vox], axis=0), axis=0)
+
+        # voxel index -> voxel centers in spherical-scaled coordinates
+        xyz = (xyz.astype(np.float64) + 0.5) * (grid_res / scale)
+
+        # crop extreme longitudes per z-layer
+        z_uq = np.unique(xyz[:, 2])
+        lon_sph = np.arctan2(xyz[:, 1], xyz[:, 0])
+        keep = []
+        for z in z_uq:
+            layer = xyz[:, 2] == z
+            lon_layer = lon_sph[layer]
+            rng = lon_layer.max() - lon_layer.min()
+            lo = lon_layer.min() + lon_crop * rng
+            hi = lon_layer.max() - lon_crop * rng
+            keep.append(xyz[layer][(lon_layer > lo) & (lon_layer < hi)])
+        xyz = np.concatenate(keep, axis=0)
+        self.voxels = (xyz * (scale / grid_res)).astype(np.int32)
+
+        xyz = sph.stretch_above_sea_level(xyz, 1.0 / vstretch, xp=np)
+        xyz = sph.spherical_to_wgs84(xyz, xp=np)
+        _, _, alt = wgs84.cartesian_to_horizontal(
+            xyz[:, 0], xyz[:, 1], xyz[:, 2], xp=np
+        )
+        cull = (alt <= 0) | (alt > dataset.config["ray_origin_height"])
+        self.xyz = xyz[~cull]
+        self.voxels = self.voxels[~cull]
+        self.idx = np.arange(self.xyz.shape[0], dtype=np.int32)
+        self.shp = (self.xyz.shape[0],)
+
+    def dump(self, output_filepath: Path, sigma: np.ndarray) -> None:
+        global_grid_dump(output_filepath, self, sigma)
+
+
+class HARP2EarthCAREExtractDataset(HARP2ExtractDataset):
+    """Sample points from an EarthCARE ATL_EBD_2A track for validation
+    matchups (reference harp2_extract.py:599-791)."""
+
+    def __init__(
+        self,
+        dataset: HARP2Dataset,
+        earthcare_filename: str,
+        earthcare_range: list[int] | None = None,
+        data_root: str | Path = "data",
+        **_: object,
+    ) -> None:
+        super().__init__(dataset)
+        assert earthcare_range is None or (
+            len(earthcare_range) == 2
+            and earthcare_range[1] > earthcare_range[0]
+        )
+        self.earthcare_filename = earthcare_filename
+        self.earthcare_range = earthcare_range
+
+        import h5py
+
+        path = Path(data_root) / "EarthCARE" / earthcare_filename
+        self._h5_attrs = {}
+        with h5py.File(path, "r") as f:
+            file_type = f["HeaderData/FixedProductHeader/File_Type"][()]
+            if isinstance(file_type, bytes):
+                file_type = file_type.decode()
+            if file_type != "ATL_EBD_2A":
+                raise NotImplementedError(
+                    "Extraction currently only supports ATL_EBD_2A, not "
+                    f"'{file_type}'."
+                )
+            self.alt = np.asarray(f["ScienceData/height"][:], np.float64)
+            lat_1d = np.asarray(f["ScienceData/latitude"][:], np.float64)
+            lon_1d = np.asarray(f["ScienceData/longitude"][:], np.float64)
+            for key in ["latitude", "longitude", "height"]:
+                ds = f[f"ScienceData/{key}"]
+                self._h5_attrs[key] = {
+                    k: (v.decode() if isinstance(v, bytes) else v)
+                    for k, v in ds.attrs.items()
+                }
+        self.lat = np.repeat(lat_1d[:, None], self.alt.shape[1], axis=1)
+        self.lon = np.repeat(lon_1d[:, None], self.alt.shape[1], axis=1)
+
+        if earthcare_range is not None:
+            slc = slice(*earthcare_range)
+            self.lat = self.lat[slc]
+            self.lon = self.lon[slc]
+            self.alt = self.alt[slc]
+
+        mask_alt = (self.alt > 0).all(axis=0) & (
+            self.alt < dataset.config["ray_origin_height"]
+        ).all(axis=0)
+        self.lat = self.lat[:, mask_alt]
+        self.lon = self.lon[:, mask_alt]
+        self.alt = self.alt[:, mask_alt]
+        self.shp = self.lat.shape
+
+        x, y, z = wgs84.horizontal_to_cartesian(
+            self.lat.flatten(), self.lon.flatten(), self.alt.flatten(), xp=np
+        )
+        self.xyz = np.stack([x, y, z], axis=1)
+        self.idx = np.arange(self.xyz.shape[0], dtype=np.int32)
+
+    def dump(self, output_filepath: Path, sigma: np.ndarray) -> None:
+        earthcare_to_netcdf(output_filepath, self, sigma)

@@ -1,0 +1,166 @@
+"""Tests for the extraction subsystem: grids, traversal, writers, runner."""
+
+import h5py
+import jax
+import numpy as np
+import pytest
+
+from atmonr_tpu.data.harp2 import HARP2Dataset
+from atmonr_tpu.data.synthetic import (
+    make_synthetic_granule,
+    write_synthetic_earthcare,
+)
+from atmonr_tpu.extract import get_extract_dataset, run_extraction
+from atmonr_tpu.extract.voxel_traversal import voxel_traversal
+from atmonr_tpu.geo import wgs84
+from atmonr_tpu.pipelines import get_pipeline
+
+from tests.test_pipelines import DATASET_CONFIG, NGP_CONFIG
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    granule = make_synthetic_granule(height=16, width=10, views_per_band=2)
+    return HARP2Dataset(DATASET_CONFIG, granule)
+
+
+def test_voxel_traversal_straight_line():
+    u = np.array([[0.5, 0.5]])
+    end = np.array([[4.5, 0.5]])
+    vox = voxel_traversal(u, end)
+    expected = {(0, 0), (1, 0), (2, 0), (3, 0), (4, 0)}
+    assert set(map(tuple, vox)) == expected
+
+
+def test_voxel_traversal_diagonal_3d():
+    u = np.array([[0.5, 0.5, 0.5]])
+    end = np.array([[3.5, 3.5, 3.5]])
+    vox = voxel_traversal(u, end)
+    s = set(map(tuple, vox))
+    assert (0, 0, 0) in s and (3, 3, 3) in s
+    # a connected 6/26-neighborhood path exists: at least 4 voxels
+    assert len(s) >= 4
+
+
+def test_voxel_traversal_batched_consistency():
+    rng = np.random.default_rng(0)
+    u = rng.uniform(0, 10, (20, 3))
+    end = rng.uniform(0, 10, (20, 3))
+    both = voxel_traversal(u, end)
+    merged = np.unique(
+        np.concatenate(
+            [voxel_traversal(u[:10], end[:10]), voxel_traversal(u[10:], end[10:])]
+        ),
+        axis=0,
+    )
+    np.testing.assert_array_equal(np.unique(both, axis=0), merged)
+
+
+def test_l1c_extract_grid(dataset):
+    ex = get_extract_dataset("l1c", dataset, alt_step=2000.0)
+    assert len(ex) > 0
+    assert ex.shp[2] == ex.sample_alt.shape[0]
+    # all sample points map back to altitudes within the ladder
+    _, _, alt = wgs84.cartesian_to_horizontal(
+        ex.xyz[:, 0], ex.xyz[:, 1], ex.xyz[:, 2], xp=np
+    )
+    assert alt.min() > -50 and alt.max() < 20500
+
+
+def test_voxelgrid_extract_spacing(dataset):
+    ex = get_extract_dataset(
+        "voxelgrid", dataset, horizontal_step=3000.0, alt_step=5000.0
+    )
+    assert len(ex) > 0
+    nrows, ncols, nalt = ex.shp
+    assert nrows >= 2 and ncols >= 2
+    # Vincenty-built grid: horizontal neighbor spacing close to the step
+    lat2d = ex.lat[..., 0]
+    lon2d = ex.lon[..., 0]
+    d, _, _ = wgs84.vincenty_distance(
+        (lat2d[:, :-1].ravel(), lon2d[:, :-1].ravel()),
+        (lat2d[:, 1:].ravel(), lon2d[:, 1:].ravel()),
+        xp=np,
+    )
+    # spacing matches the step up to the reference's grid-shape rounding
+    # (int(dist // step) samples spread over dist), loose on small granules
+    assert np.abs(np.asarray(d) - 3000.0).max() < 0.25 * 3000.0
+
+
+def test_globalgrid_extract(dataset):
+    ex = get_extract_dataset(
+        "globalgrid",
+        dataset,
+        scale=100 / 6.378e6,
+        grid_res=0.002,
+        vstretch=12,
+        lon_crop=0.05,
+    )
+    assert len(ex) > 0
+    assert ex.voxels.shape == ex.xyz.shape
+    # voxel centers are inside the atmosphere shell
+    _, _, alt = wgs84.cartesian_to_horizontal(
+        ex.xyz[:, 0], ex.xyz[:, 1], ex.xyz[:, 2], xp=np
+    )
+    assert alt.min() > 0 and alt.max() <= 20000
+
+
+def test_earthcare_extract(dataset, tmp_path):
+    write_synthetic_earthcare(tmp_path / "EarthCARE" / "track.h5")
+    ex = get_extract_dataset(
+        "earthcare",
+        dataset,
+        earthcare_filename="track.h5",
+        earthcare_range=[5, 30],
+        data_root=tmp_path,
+    )
+    assert ex.shp[0] == 25
+    assert len(ex) == 25 * ex.shp[1]
+
+
+def test_extraction_runner_and_netcdf_dump(dataset, tmp_path):
+    pipe = get_pipeline(NGP_CONFIG, dataset)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    ex = get_extract_dataset("l1c", dataset, alt_step=5000.0)
+    sigma = run_extraction(pipe, params, ex, batch_size=256)
+    assert sigma.shape == (len(ex), 1)
+    assert np.isfinite(sigma).all() and sigma.min() >= 0
+
+    out = tmp_path / "extract.nc"
+    ex.dump(out, sigma)
+    with h5py.File(out, "r") as f:
+        assert "extinction_coefficient" in f
+        assert f["extinction_coefficient"].shape == (
+            ex.shp[0],
+            ex.shp[1],
+            ex.sample_alt.shape[0],
+            1,
+        )
+        assert f["extinction_coefficient"].attrs["units"] == "m^-1"
+        assert float(f.attrs["neural_rendering_scene_scale"]) == dataset.scale
+        assert "latitude" in f and "x_wgs84" in f
+
+
+def test_earthcare_dump(dataset, tmp_path):
+    write_synthetic_earthcare(tmp_path / "EarthCARE" / "track.h5")
+    ex = get_extract_dataset(
+        "earthcare", dataset, earthcare_filename="track.h5", data_root=tmp_path
+    )
+    sigma = np.random.default_rng(0).uniform(size=(len(ex), 1)).astype(np.float32)
+    out = tmp_path / "ec.nc"
+    ex.dump(out, sigma)
+    with h5py.File(out, "r") as f:
+        assert f["extinction_coefficient"].shape == (ex.shp[0], ex.shp[1], 1)
+        assert "JSG_height" in f
+
+
+def test_globalgrid_npy_fallback_dump(dataset, tmp_path, monkeypatch):
+    ex = get_extract_dataset(
+        "globalgrid", dataset, scale=100 / 6.378e6, grid_res=0.004, vstretch=4
+    )
+    sigma = np.zeros((len(ex), 1), np.float32)
+    monkeypatch.chdir(tmp_path)
+    with pytest.warns(UserWarning, match="OpenVDB"):
+        ex.dump(tmp_path / "out.vdb", sigma)
+    assert (tmp_path / "voxels.npy").exists()
+    assert (tmp_path / "sigma.npy").exists()
