@@ -62,3 +62,23 @@ def restore_checkpoint(
     meta_path = output_path / f"epoch_{epoch:04d}.meta.json"
     extra = json.loads(meta_path.read_text()) if meta_path.exists() else {}
     return state, epoch, extra
+
+
+def restore_params(
+    output_path: str | Path, params_template: Any, epoch: int | None = None
+) -> Any:
+    """Restore only the ``params`` subtree of a checkpoint (extraction and
+    inference don't need the optimizer state)."""
+    output_path = Path(output_path).resolve()
+    if epoch is None:
+        epoch = latest_epoch(output_path)
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoints under {output_path}")
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        out = ckptr.restore(
+            output_path / f"epoch_{epoch:04d}",
+            args=ocp.args.PyTreeRestore(
+                item={"params": params_template}, partial_restore=True
+            ),
+        )
+    return out["params"]

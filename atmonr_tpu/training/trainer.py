@@ -83,6 +83,14 @@ class Trainer:
         self.dataset = dataset
         self.pipeline = pipeline
         self.batch_size = int(config["batch_size"])
+        if self.batch_size > len(dataset):
+            import warnings
+
+            warnings.warn(
+                f"batch_size {self.batch_size} exceeds the ray count "
+                f"{len(dataset)}; clamping to the dataset size."
+            )
+            self.batch_size = len(dataset)
         self.num_iters = int(config["num_iters"])
         self.print_frequency = int(config.get("print_frequency", 10))
 

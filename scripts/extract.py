@@ -62,7 +62,7 @@ def main() -> None:
     from atmonr_tpu.data.factory import BANDS, get_dataset
     from atmonr_tpu.extract import get_extract_dataset, run_extraction
     from atmonr_tpu.pipelines import get_pipeline
-    from atmonr_tpu.training.checkpoint import restore_checkpoint
+    from atmonr_tpu.training.checkpoint import restore_params
 
     output_path = Path(f"{args.data_root}/output/{args.exp_name}")
     train_args = SimpleNamespace(
@@ -94,10 +94,7 @@ def main() -> None:
     import jax
 
     params0 = pipeline.init_params(jax.random.PRNGKey(0))
-    opt = pipeline.make_optimizer(config["trainer"]["optimizer"], 1e-3)
-    template = {"params": params0, "opt_state": opt.init(params0)}
-    restored, _, _ = restore_checkpoint(output_path, template)
-    params = restored["params"]
+    params = restore_params(output_path, params0)
 
     sigma = run_extraction(
         pipeline, params, extract_dataset, args.batch_size, verbose=True

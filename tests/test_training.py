@@ -1,0 +1,141 @@
+"""Integration tests for the training runtime: Trainer loop, schedules,
+metrics, checkpoint/resume."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from atmonr_tpu.data.harp2 import HARP2Dataset
+from atmonr_tpu.data.synthetic import make_synthetic_granule
+from atmonr_tpu.pipelines import get_pipeline
+from atmonr_tpu.training import Trainer
+from atmonr_tpu.training.metrics import image_metrics, psnr_per_view, ssim_per_view
+from atmonr_tpu.training.schedules import make_lr_schedule
+
+from tests.test_pipelines import DATASET_CONFIG, NGP_CONFIG
+
+TRAINER_CONFIG = {
+    "all_gpu": True,
+    "num_workers": 0,
+    "batch_size": 128,
+    "num_iters": 30,
+    "print_frequency": 10,
+    "optimizer": {
+        "lr": 1e-2,
+        "betas": (0.9, 0.99),
+        "eps": 1e-15,
+        "weight_decay": 1e-2,
+    },
+    "scheduler": {
+        "type": "fixed",
+        "gamma": 0.33,
+        "decay_start": 10,
+        "decay_interval": 10,
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    granule = make_synthetic_granule(height=10, width=8, views_per_band=2)
+    return HARP2Dataset(DATASET_CONFIG, granule)
+
+
+def test_lr_schedules():
+    fixed = make_lr_schedule(
+        {"type": "fixed", "gamma": 0.5, "decay_start": 100, "decay_interval": 50},
+        {"lr": 1.0},
+        1000,
+        10,
+    )
+    assert float(fixed(0)) == 1.0
+    assert float(fixed(100)) == 1.0
+    assert float(fixed(150)) == pytest.approx(0.5)
+    assert float(fixed(260)) == pytest.approx(0.125)  # decays at 150/200/250
+
+    target = make_lr_schedule(
+        {"type": "target_lr", "final_lr": 0.1},
+        {"lr": 1.0},
+        100,
+        10,  # 10 epochs
+    )
+    assert float(target(0)) == 1.0
+    assert float(target(95)) == pytest.approx(0.1 ** (9 / 10))
+
+
+def test_metrics_perfect_reconstruction():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0.1, 1.0, size=(4, 32, 32))
+    psnr = psnr_per_view(img, img, 1.0)
+    assert np.isinf(psnr).all()
+    ssim = ssim_per_view(img, img, data_range=1.0)
+    np.testing.assert_allclose(ssim, 1.0, atol=1e-6)
+
+    noisy = img + rng.normal(scale=0.05, size=img.shape)
+    assert (psnr_per_view(noisy, img, 1.0) > 20).all()
+    assert (ssim_per_view(noisy, img) < 1.0).all()
+
+    m = image_metrics(
+        img.transpose(1, 2, 0), img.transpose(1, 2, 0), max_i=1.0
+    )
+    assert m["SSIM_mean"] == pytest.approx(1.0, abs=1e-6)
+    assert len(m["PSNR"]) == 4
+
+
+def test_trainer_end_to_end_with_resume(dataset, tmp_path):
+    pipe = get_pipeline(NGP_CONFIG, dataset)
+    trainer = Trainer(
+        TRAINER_CONFIG, dataset, pipe, "test_exp", data_root=tmp_path
+    )
+    out = tmp_path / "output"
+    trainer.train(out)
+    assert trainer.iter_count == 30
+    assert trainer.epoch_idx >= 1
+
+    # checkpoints on disk
+    ckpts = sorted(p.name for p in out.glob("epoch_*") if p.is_dir())
+    assert len(ckpts) == trainer.epoch_idx
+
+    # metrics were logged
+    jsonl = list((tmp_path / "tensorboard").glob("*/metrics.jsonl"))
+    assert jsonl and "Loss" in jsonl[0].read_text()
+
+    # resume restores counters and params
+    trainer2 = Trainer(
+        TRAINER_CONFIG, dataset, pipe, "test_exp", data_root=tmp_path
+    )
+    trainer2.load(out)
+    assert trainer2.iter_count == trainer.iter_count
+    assert trainer2.epoch_idx == trainer.epoch_idx
+    np.testing.assert_allclose(
+        np.asarray(trainer2.state["params"]["pos_table"]),
+        np.asarray(trainer.state["params"]["pos_table"]),
+    )
+
+    # and continues training
+    trainer2.num_iters = 40
+    trainer2.train(out)
+    assert trainer2.iter_count == 40
+
+
+def test_trainer_loss_decreases(dataset, tmp_path):
+    cfg = dict(TRAINER_CONFIG, num_iters=60)
+    pipe = get_pipeline(NGP_CONFIG, dataset)
+    trainer = Trainer(cfg, dataset, pipe, "loss_test", data_root=tmp_path)
+    trainer.train(tmp_path / "out2")
+    lines = [
+        line
+        for line in (
+            (next((tmp_path / "tensorboard").glob("loss_test*/metrics.jsonl")))
+            .read_text()
+            .splitlines()
+        )
+    ]
+    import json
+
+    losses = [
+        json.loads(line)["value"]
+        for line in lines
+        if json.loads(line)["tag"] == "Loss"
+    ]
+    assert losses[-1] < losses[0]
