@@ -106,7 +106,17 @@ class HARP2Dataset:
         self.max_i = float(np.nanmax(self.int_arr))
 
         self._init_rgb_idxs(self.config["rgb_mode"])
-        self._init_ray_data(chunk_size, ray_builder or wgs84.get_rays)
+        if ray_builder is None:
+            # the multithreaded C++ builder when built (native/), else the
+            # numpy f64 path — both solve origins to the same 10 m tolerance
+            from atmonr_tpu import native
+
+            ray_builder = (
+                native.build_rays
+                if native.available()
+                else lambda *a, **k: wgs84.get_rays(*a, **k, xp=np)
+            )
+        self._init_ray_data(chunk_size, ray_builder)
         self._device_rays: dict | None = None
 
     # -- RGB view selection (parity: reference harp2.py:126-198) ------------
