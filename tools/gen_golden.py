@@ -153,6 +153,28 @@ def main():
     args = ap.parse_args()
 
     sys.path.insert(0, str(Path(args.reference) / "src"))
+    # stub optional heavy deps the reference imports at module level but this
+    # generator never calls (download/IO/metrics)
+    import types
+
+    for missing in ["earthaccess", "netCDF4", "torchmetrics"]:
+        try:
+            __import__(missing)
+        except ImportError:
+            mod = types.ModuleType(missing)
+            mod.Dataset = object  # annotation-only usage
+            mod.Variable = object
+            sys.modules[missing] = mod
+    try:
+        import torchmetrics.functional.image  # noqa: F401
+    except ImportError:
+        m = types.ModuleType("torchmetrics.functional.image")
+        m.peak_signal_noise_ratio = None
+        m.structural_similarity_index_measure = None
+        sys.modules["torchmetrics.functional"] = types.ModuleType(
+            "torchmetrics.functional"
+        )
+        sys.modules["torchmetrics.functional.image"] = m
     import torch
 
     from atmonr.geospatial import wgs_84 as atm_geo
@@ -163,6 +185,103 @@ def main():
     gen_geo(torch, atm_geo)
     gen_render(torch, graphics_utils, samplers, losses, encoders)
     gen_nerf_mlp(torch, nerf_models, encoders)
+    gen_nerf_pipeline(torch)
+
+
+def gen_nerf_pipeline(torch):
+    """Record a full deterministic reference NeRFPipeline forward + loss +
+    parameter gradients on a synthetic ray batch (no preprocessor, no height;
+    midpoint stratified sampling, quantile-midpoint importance sampling,
+    eval mode = no density noise)."""
+    import atmonr.pipelines.nerf as ref_nerf
+    from atmonr import samplers as ref_samplers
+
+    config = {
+        "type": "NeRF",
+        "include_height": False,
+        "point_preprocessor": None,
+        "num_bands": 4,
+        "ray_origin_height": 20000,
+        "sampler": {"N_c": 8, "N_f": 16},
+        "encoder": {"L_x": [5, 5, 4], "L_d": 2},
+        "mlp_hidden_dim": 32,
+    }
+
+    class MockDataset:
+        scale = 200000.0
+        offset = torch.zeros(3, dtype=torch.float64)
+        config = {"ray_origin_height": 20000}
+
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        torch.manual_seed(11)
+        pipe = ref_nerf.NeRFPipeline(config, MockDataset())
+    pipe.eval()  # no density noise
+
+    # deterministic sampling: midpoint stratified bins...
+    orig_uniform = ref_samplers.sample_uniform_bins
+    ref_nerf.sample_uniform_bins = lambda rb, n_bins: orig_uniform(
+        rb, n_bins, random=False
+    )
+    # ...and quantile-midpoint inverse-CDF sampling (u = (i + 0.5) / n)
+    orig_rand = torch.rand
+
+    def _mid_rand(*shape, **kwargs):
+        if shape and isinstance(shape[0], list):
+            shape = tuple(shape[0])
+        n = shape[-1]
+        u = (torch.arange(n, dtype=torch.get_default_dtype()) + 0.5) / n
+        return u.expand(shape).contiguous()
+
+    g = torch.Generator().manual_seed(21)
+    b = 32
+    origin = torch.rand((b, 3), generator=g) * 1.6 - 0.8
+    direction = torch.nn.functional.normalize(
+        torch.rand((b, 3), generator=g) - 0.5, dim=-1
+    )
+    batch = {
+        "origin": origin,
+        "dir": direction,
+        "len": torch.rand((b,), generator=g) + 1.0,
+        "rad": torch.rand((b,), generator=g) * 2.0,
+        "irgb_idx": torch.randint(0, 4, (b,), generator=g),
+    }
+
+    try:
+        torch.rand = _mid_rand
+        results = pipe.forward(batch)
+        loss = pipe.compute_loss(batch, results)
+    finally:
+        torch.rand = orig_rand
+        ref_nerf.sample_uniform_bins = orig_uniform
+
+    loss.backward()
+
+    out = {
+        "scale": np.float64(MockDataset.scale),
+        "origin": origin.numpy(),
+        "direction": direction.numpy(),
+        "length": batch["len"].numpy(),
+        "rad": batch["rad"].numpy(),
+        "irgb_idx": batch["irgb_idx"].numpy(),
+        "loss": loss.detach().numpy(),
+        "color_map_coarse": results["color_map_coarse"].detach().numpy(),
+        "color_map_fine": results["color_map_fine"].detach().numpy(),
+        "z_vals_coarse": results["z_vals_coarse"].detach().numpy(),
+        "z_vals_fine": results["z_vals_fine"].detach().numpy(),
+        "weights_coarse": results["weights_coarse"].detach().numpy(),
+        "sigma_fine": results["sigma_fine"].detach().numpy(),
+    }
+    for mode in ["coarse", "fine"]:
+        model = pipe.nerf[mode]
+        for k, v in model.state_dict().items():
+            out[f"w_{mode}_{k.replace('.', '_')}"] = v.numpy()
+        for k, v in model.named_parameters():
+            out[f"g_{mode}_{k.replace('.', '_')}"] = v.grad.numpy()
+    np.savez(GOLDEN / "nerf_pipeline.npz", **out)
+    print("wrote nerf_pipeline.npz")
 
 
 if __name__ == "__main__":
