@@ -95,7 +95,8 @@ class Trainer:
         self.print_frequency = int(config.get("print_frequency", 10))
 
         self.rays = dataset.rays()
-        self.steps_per_epoch = max(1, len(dataset) // self.batch_size)
+        self.num_rays = len(dataset)
+        self.steps_per_epoch = max(1, self.num_rays // self.batch_size)
         self.num_epochs = -(-self.num_iters // self.steps_per_epoch)
 
         lr_schedule = make_lr_schedule(
@@ -126,7 +127,22 @@ class Trainer:
         )
         self.logger = _ScalarLogger(self.tensorboard_dir)
 
+        self.mesh = None
         self._train_step = jax.jit(self._step, donate_argnums=(0,))
+
+    def shard(self, mesh) -> None:
+        """Switch to multi-chip training: shard the HBM-resident ray store
+        over the mesh "data" axis and replicate parameters/optimizer state
+        (their gradient all-reduce over ICI is inserted by GSPMD when the
+        jitted step differentiates the data-sharded loss)."""
+        from atmonr_tpu.parallel.sharding import replicate, shard_rays
+
+        self.mesh = mesh
+        self.rays = shard_rays(self.rays, mesh)
+        self.num_rays = int(self.rays["origin"].shape[0])
+        self.steps_per_epoch = max(1, self.num_rays // self.batch_size)
+        self.num_epochs = -(-self.num_iters // self.steps_per_epoch)
+        self.state = replicate(self.state, mesh)
 
     # -- the jitted step -----------------------------------------------------
 
@@ -186,7 +202,7 @@ class Trainer:
         while self.iter_count < self.num_iters:
             self.perm_key, sub = jax.random.split(self.perm_key)
             perm = batching.epoch_permutation(
-                sub, len(self.dataset), self.batch_size
+                sub, self.num_rays, self.batch_size
             )
             for i in range(self.steps_per_epoch):
                 self.state, loss = self._train_step(

@@ -118,3 +118,15 @@ def test_shard_rays_trims_and_places(dataset):
     n = rays["origin"].shape[0]
     assert n % 8 == 0
     assert len(rays["origin"].sharding.device_set) == 8
+
+
+def test_trainer_shard_runs(dataset, tmp_path):
+    from atmonr_tpu.training import Trainer
+    from tests.test_training import TRAINER_CONFIG
+
+    cfg = dict(TRAINER_CONFIG, num_iters=4, batch_size=64)
+    pipe = get_pipeline(NGP_CONFIG, dataset)
+    trainer = Trainer(cfg, dataset, pipe, "shard_exp", data_root=tmp_path)
+    trainer.shard(make_mesh(data=4, sample=2))
+    trainer.train(tmp_path / "out")
+    assert trainer.iter_count == 4
