@@ -16,8 +16,9 @@ All levels live in one flat (total_params, F) table so the optimizer treats
 the encoding as a single pytree leaf. The forward is a per-level gather +
 interpolation; the backward (via JAX autodiff) is the gather transpose — a
 scatter-add, which XLA:TPU lowers without atomics (the sort/segment-sum
-design the CUDA original needs atomicAdd for). ``atmonr_tpu.ops.hash_mlp``
-provides the fused Pallas path for the training hot loop.
+design the CUDA original needs atomicAdd for). On TPU the forward gather
+dispatches to the Pallas chunked-VMEM kernel
+(``atmonr_tpu.ops.hash_gather_pallas``) when the table fits the gate.
 """
 
 from __future__ import annotations
@@ -47,6 +48,11 @@ class HashGridConfig:
     log2_hashmap_size: int = 19
     base_resolution: int = 16
     per_level_scale: float = 2.0
+    # Forward gather implementation: "auto" picks the Pallas chunked-VMEM
+    # kernel (bf16 features, like tcnn's fp16 tables) on TPU when the table
+    # is small enough, else the XLA gather. "xla" forces the exact XLA path
+    # (golden-parity tests); "bf16"/"f32" force the Pallas kernel.
+    fwd_mode: str = "auto"
 
     @staticmethod
     def from_options(options: dict, n_dims: int) -> "HashGridConfig":
@@ -58,6 +64,7 @@ class HashGridConfig:
             log2_hashmap_size=int(options["log2_hashmap_size"]),
             base_resolution=int(options["base_resolution"]),
             per_level_scale=float(options["per_level_scale"]),
+            fwd_mode=str(options.get("fwd_mode", "auto")),
         )
 
     @cached_property
@@ -179,6 +186,22 @@ def _hash_encode_impl(table: jax.Array, x: jax.Array, cfg: HashGridConfig):
     return jnp.concatenate(outs, axis=-1)
 
 
+def _fwd_dispatch(table: jax.Array, x: jax.Array, cfg: HashGridConfig):
+    """Pick the forward gather implementation per ``cfg.fwd_mode``.
+
+    The Pallas chunked-VMEM kernel (ops/hash_gather_pallas.py) beats XLA's
+    row gather for <=2^15-entry tables on TPU; everywhere else (CPU tests,
+    big reference tables, 2-D surface grids) the XLA gather applies. The
+    dispatch is trace-time static (backend + static config)."""
+    if cfg.fwd_mode != "xla" and jax.default_backend() == "tpu":
+        from atmonr_tpu.ops import hash_gather_pallas as hgp
+
+        mode = "bf16" if cfg.fwd_mode == "auto" else cfg.fwd_mode
+        if hgp.supported(cfg, mode):
+            return hgp.hash_encode_pallas_fwd(table, x, cfg, mode)
+    return _hash_encode_impl(table, x, cfg)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def hash_encode(
     table: jax.Array,
@@ -201,11 +224,11 @@ def hash_encode(
     are unused when sample positions carry no learnable dependence (the
     Instant-NGP pipeline); leave False to skip them.
     """
-    return _hash_encode_impl(table, x, cfg)
+    return _fwd_dispatch(table, x, cfg)
 
 
 def _hash_encode_fwd(table, x, cfg, compute_dx):
-    return _hash_encode_impl(table, x, cfg), (table, x)
+    return _fwd_dispatch(table, x, cfg), (table, x)
 
 
 def _hash_encode_bwd(cfg: HashGridConfig, compute_dx: bool, res, g):

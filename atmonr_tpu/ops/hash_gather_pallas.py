@@ -1,24 +1,34 @@
-"""Pallas TPU kernel: chunked-VMEM hash-table gather + trilinear reduce.
+"""Pallas TPU kernel: fused multiresolution hash-encode forward.
 
-The hash-encode forward is a random gather of 2-float feature rows — XLA's
-row gather sustains only ~150 M rows/s on v5e, which makes it the forward
-wall (docs/performance.md). Mosaic exposes ``tpu.dynamic_gather`` along the
-lane axis with a single-vreg (128-entry) source, so this kernel streams a
-VMEM-resident level table in 128-entry chunks and resolves each lookup with
-a masked lane-gather:
+TPU-native replacement for tiny-cuda-nn's CUDA ``HashGrid`` forward
+(reference pipelines/instant_ngp.py:60-63): ONE kernel takes raw positions
+and the packed feature tables and produces the full (M, L*F) encoding.
+Everything — per-level grid scaling, corner/hash index math, trilinear
+weights, the table lookups, and the corner accumulation — happens in VMEM,
+so no per-level index/weight intermediates ever touch HBM (a per-level
+``pallas_call`` variant OOM'd the 16 GB chip: XLA must materialize every
+opaque kernel input, ~1 GB of (M, 8) arrays per step plus remat copies).
 
-    for chunk c:  acc = where(idx in chunk, lane_gather(chunk_vals, idx - c*128), acc)
+The lookup itself is a chunked-VMEM scan. XLA's row gather sustains only
+~190 M rows/s on v5e (docs/performance.md), while Mosaic's lane-axis
+``tpu.dynamic_gather`` (via ``take_along_axis``) resolves 128 lookups/op
+against a 128-entry chunk:
 
-Cost is ~5 VPU ops per chunk per lookup — for tables up to ~2^15 entries
-this beats the XLA gather by an order of magnitude and keeps everything in
-VMEM. The corner-weighted reduction to per-point features is an MXU matmul
-against a static 8-corner group-sum matrix, so no vector relayouts are
-needed: lookups stay in a (rows, 128) layout end to end.
+    cid, local = idx >> 7, idx & 127
+    for chunk c in level:  acc = where(cid == c, lane_gather(chunk[c], local), acc)
 
-Layouts (F = features/level, fixed 128-lane tiling):
-    table_packed: (F, T // 128, 128)   level table, feature-major chunks
-    idx2, w2:     (R, 128)             R = M * 8 / 128 corner lookups
-    output:       (F, R, 16)           16 points per row (8 corners summed)
+~3 VPU ops per chunk per lookup-vreg, manually unrolled x8 (Mosaic's
+``fori_loop`` carries real per-iteration scalar overhead). In ``bf16`` mode
+both features of an entry are packed into one u32 word so the scan runs
+once per entry (tcnn stores fp16 tables; same half-precision trade);
+``f32`` mode scans one u32 word per feature for exact f32 numerics. Cost
+is O(table_size x lookups) VPU work, so :func:`supported` caps levels at
+2^15 entries — the TPU flagship config's choice. Measured (v5e, flagship
+work rate): 3.5x the XLA gather path.
+
+Index math mirrors ``models.hash_grid.level_indices`` op-for-op (same IEEE
+ops, same order), so ``f32`` mode is bit-exact against the XLA path and
+``bf16`` mode is bit-exact against it on a bf16-rounded table.
 """
 
 from __future__ import annotations
@@ -32,85 +42,116 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-_CORNERS = 8  # 3-D trilinear
-_POINTS_PER_ROW = LANES // _CORNERS  # 16
-
-def _group_sum_matrix():
-    """(128, 16) matrix summing groups of 8 adjacent lanes on the MXU,
-    built from iota inside the kernel (pallas kernels can't close over
-    host constants)."""
-    row = jax.lax.broadcasted_iota(jnp.int32, (LANES, _POINTS_PER_ROW), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (LANES, _POINTS_PER_ROW), 1)
-    return jnp.where(row // _CORNERS == col, 1.0, 0.0).astype(jnp.float32)
+_UNROLL = 8
+_BLOCK_POINTS = 4096  # points per grid step; 32 (8,128) vregs per corner
 
 
-def _kernel(table_ref, idx_ref, w_ref, out_ref, *, num_chunks: int, n_feats: int):
-    idx = idx_ref[:]  # (R_blk, 128)
-    w = w_ref[:]
-    group = _group_sum_matrix()
-    for f in range(n_feats):
-        def chunk_body(c, acc):
-            vals = table_ref[f, c, :]  # (128,)
-            vals_b = jnp.broadcast_to(vals[None, :], idx.shape)
-            local = idx - c * LANES
-            inb = (local >= 0) & (local < LANES)
-            safe = jnp.clip(local, 0, LANES - 1)
-            g = jnp.take_along_axis(vals_b, safe, axis=1)
-            return jnp.where(inb, g, acc)
+def _scan_chunks(table_ref, word: int, cid, local, c_begin: int, c_end: int):
+    """Masked chunk scan over one level's global chunk range: returns the
+    packed u32 feature word for each lookup. ``cid`` is the global chunk id
+    (level chunk offset already added)."""
 
-        feats = jax.lax.fori_loop(
-            0, num_chunks, chunk_body, jnp.zeros(idx.shape, jnp.float32)
-        )
-        out_ref[f] = jnp.dot(
-            feats * w, group, preferred_element_type=jnp.float32
-        )
+    def step(c, acc):
+        vals = table_ref[word, c, :]  # (128,) u32
+        vals_b = jnp.broadcast_to(vals[None, :], cid.shape)
+        g = jnp.take_along_axis(vals_b, local, axis=1)
+        return jnp.where(cid == c, g, acc)
+
+    def group_body(i, acc):
+        c0 = c_begin + i * _UNROLL
+        for u in range(_UNROLL):
+            acc = step(c0 + u, acc)
+        return acc
+
+    acc = jnp.zeros(cid.shape, jnp.uint32)
+    n = c_end - c_begin
+    groups = n // _UNROLL
+    if groups:
+        acc = jax.lax.fori_loop(0, groups, group_body, acc)
+    for c in range(c_begin + groups * _UNROLL, c_end):  # static remainder
+        acc = step(c, acc)
+    return acc
 
 
-def gather_interp_level(
-    table_packed: jax.Array, idx2: jax.Array, w2: jax.Array, block_rows: int = 256
+def _unpack_bf16_pair(packed):
+    """u32 word -> (f32, f32): a bf16's f32 bits are its own bits << 16."""
+    f0 = jax.lax.bitcast_convert_type(packed & jnp.uint32(0xFFFF0000), jnp.float32)
+    f1 = jax.lax.bitcast_convert_type(packed << 16, jnp.float32)
+    return f0, f1
+
+
+def _fused_kernel(
+    table_ref,
+    x_ref,
+    out_ref,
+    *,
+    cfg,
+    mode: str,
+    chunk_offs: tuple[int, ...],
+    chunk_counts: tuple[int, ...],
+):
+    from atmonr_tpu.models.hash_grid import _PRIMES
+
+    f = cfg.n_features_per_level
+    x = [x_ref[d] for d in range(3)]  # (PV, 128) f32 each
+    for level in range(cfg.n_levels):
+        scale = float(cfg.level_scales[level])
+        res = int(cfg.level_resolutions[level])
+        dense = cfg.level_is_dense(level)
+        # mirrors level_indices: pos = x*scale + 0.5; clip(floor, 0, res-2)
+        pos = [xd * scale + 0.5 for xd in x]
+        pg = [jnp.floor(p) for p in pos]
+        frac = [p - g for p, g in zip(pos, pg)]
+        base = [jnp.clip(g.astype(jnp.int32), 0, res - 2) for g in pg]
+
+        acc = [jnp.zeros_like(x[0]) for _ in range(f)]
+        c_begin = chunk_offs[level]
+        c_end = c_begin + chunk_counts[level]
+        for corner in range(8):
+            cbits = [(corner >> d) & 1 for d in range(3)]
+            g = [b + cb for b, cb in zip(base, cbits)]
+            if dense:
+                idx = g[0] + g[1] * res + g[2] * (res * res)
+            else:
+                h = g[0].astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+                h = h ^ (g[1].astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
+                h = h ^ (g[2].astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
+                idx = (h & jnp.uint32(cfg.hashmap_size - 1)).astype(jnp.int32)
+            w = jnp.ones_like(x[0])
+            for d in range(3):
+                w = w * (frac[d] if cbits[d] else 1.0 - frac[d])
+            cid = jax.lax.shift_right_logical(idx, 7) + c_begin
+            local = jax.lax.bitwise_and(idx, LANES - 1)
+            if mode == "bf16":
+                packed = _scan_chunks(table_ref, 0, cid, local, c_begin, c_end)
+                f0, f1 = _unpack_bf16_pair(packed)
+                acc[0] = acc[0] + w * f0
+                acc[1] = acc[1] + w * f1
+            else:
+                for word in range(f):
+                    bits = _scan_chunks(
+                        table_ref, word, cid, local, c_begin, c_end
+                    )
+                    fv = jax.lax.bitcast_convert_type(bits, jnp.float32)
+                    acc[word] = acc[word] + w * fv
+        for word in range(f):
+            out_ref[level * f + word] = acc[word]
+
+
+def _u16_bits(x16) -> jax.Array:
+    return jax.lax.bitcast_convert_type(x16, jnp.uint16).astype(jnp.uint32)
+
+
+def pack_level_table(
+    table: jax.Array, level_offset: int, level_size: int, mode: str
 ) -> jax.Array:
-    """(F, T/128, 128) table, (R, 128) corner lookups -> (F, R, 16) features.
+    """Slice one level out of the flat (total, F) f32 table and pack it
+    (W, ceil(T/128), 128) u32 for the kernel (zero-padded to a 128
+    multiple — valid indices never reach the padding).
 
-    ``R`` must be a multiple of ``block_rows`` (callers pad points so
-    M*8 % (block_rows*128) == 0).
+    ``bf16``: W=1, both features' bf16 bits packed per word (F must be 2).
+    ``f32``:  W=F, each word a feature's f32 bits (exact).
     """
-    n_feats, num_chunks, _ = table_packed.shape
-    r = idx2.shape[0]
-    assert r % block_rows == 0, (r, block_rows)
-    grid = (r // block_rows,)
-    kernel = functools.partial(
-        _kernel, num_chunks=num_chunks, n_feats=n_feats
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (n_feats, num_chunks, LANES),
-                lambda i: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (n_feats, block_rows, _POINTS_PER_ROW),
-            lambda i: (0, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_feats, r, _POINTS_PER_ROW), jnp.float32),
-        interpret=jax.default_backend() != "tpu",
-    )(table_packed, idx2, w2)
-
-
-def pack_level_table(table: jax.Array, level_offset: int, level_size: int):
-    """Slice one level out of the flat (total, F) table and pack it
-    (F, ceil(T/128), 128) for the kernel (zero-padded to a 128 multiple —
-    valid indices never reach the padding)."""
     t = table[level_offset : level_offset + level_size]  # (T, F)
     n_feats = t.shape[1]
     padded = -(-level_size // LANES) * LANES
@@ -118,35 +159,91 @@ def pack_level_table(table: jax.Array, level_offset: int, level_size: int):
         t = jnp.concatenate(
             [t, jnp.zeros((padded - level_size, n_feats), t.dtype)], axis=0
         )
-    return t.T.reshape(n_feats, padded // LANES, LANES)
+    if mode == "bf16":
+        assert n_feats == 2, n_feats
+        bits = _u16_bits(t.astype(jnp.bfloat16))  # (T, 2) u32 of bf16 bits
+        words = (bits[:, 0] << 16) | bits[:, 1]
+        return words.reshape(1, padded // LANES, LANES)
+    words = jax.lax.bitcast_convert_type(t, jnp.uint32)  # (T, F)
+    return words.T.reshape(n_feats, padded // LANES, LANES)
 
 
-def supported(cfg, max_table_entries: int = 1 << 15) -> bool:
+def pack_tables(table: jax.Array, cfg, mode: str):
+    """All levels packed + concatenated along the chunk axis.
+
+    Returns (packed (W, total_chunks, 128) u32, chunk_offs, chunk_counts).
+    """
+    parts, offs, counts = [], [], []
+    total = 0
+    for level in range(cfg.n_levels):
+        p = pack_level_table(
+            table, cfg.level_offsets[level], cfg.level_sizes[level], mode
+        )
+        parts.append(p)
+        offs.append(total)
+        counts.append(p.shape[1])
+        total += p.shape[1]
+    return jnp.concatenate(parts, axis=1), tuple(offs), tuple(counts)
+
+
+def supported(cfg, mode: str = "bf16", max_table_entries: int = 1 << 15) -> bool:
     """Whether the Pallas path applies: 3-D grids with every level's table
-    small enough that the chunk loop beats the XLA gather."""
+    small enough that the chunk scan beats the XLA gather (the scan is
+    O(table_size x lookups))."""
+    if mode == "bf16" and cfg.n_features_per_level != 2:
+        return False
     return cfg.n_dims == 3 and max(cfg.level_sizes) <= max_table_entries
 
 
-def hash_encode_pallas_fwd(table: jax.Array, x: jax.Array, cfg) -> jax.Array:
-    """Forward-equivalent of ``hash_grid._hash_encode_impl`` using the
-    chunked-VMEM gather kernel per level. (M, 3) -> (M, L*F)."""
-    from atmonr_tpu.models.hash_grid import level_indices
-
+def hash_encode_pallas_fwd(
+    table: jax.Array, x: jax.Array, cfg, mode: str = "bf16"
+) -> jax.Array:
+    """Fused forward-equivalent of ``hash_grid._hash_encode_impl``:
+    (M, 3) positions -> (M, L*F) features, one pallas_call."""
+    assert cfg.n_dims == 3, cfg.n_dims
+    f = cfg.n_features_per_level
     m = x.shape[0]
-    block_pts = 256 * _POINTS_PER_ROW  # points per kernel block
-    m_pad = -(-m // block_pts) * block_pts
+    m_pad = -(-m // _BLOCK_POINTS) * _BLOCK_POINTS
     if m_pad != m:
         x = jnp.concatenate(
             [x, jnp.zeros((m_pad - m, x.shape[1]), x.dtype)], axis=0
         )
-    outs = []
-    for level in range(cfg.n_levels):
-        idx, w = level_indices(x, cfg, level)  # (M_pad, 8) each
-        idx2 = idx.reshape(m_pad // _POINTS_PER_ROW, LANES)
-        w2 = w.astype(jnp.float32).reshape(m_pad // _POINTS_PER_ROW, LANES)
-        packed = pack_level_table(
-            table, cfg.level_offsets[level], cfg.level_sizes[level]
-        )
-        feats = gather_interp_level(packed, idx2, w2)  # (F, R, 16)
-        outs.append(feats.reshape(feats.shape[0], m_pad).T)  # (M_pad, F)
-    return jnp.concatenate(outs, axis=-1)[:m]
+    # (M, 3) -> (3, M/128, 128): coordinate-major, naturally lane-tiled
+    x3 = x.astype(jnp.float32).T.reshape(3, m_pad // LANES, LANES)
+    packed, chunk_offs, chunk_counts = pack_tables(table, cfg, mode)
+    n_words = packed.shape[0]
+    total_chunks = packed.shape[1]
+    pv_blk = _BLOCK_POINTS // LANES
+
+    kernel = functools.partial(
+        _fused_kernel,
+        cfg=cfg,
+        mode=mode,
+        chunk_offs=chunk_offs,
+        chunk_counts=chunk_counts,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(m_pad // _BLOCK_POINTS,),
+        in_specs=[
+            pl.BlockSpec(
+                (n_words, total_chunks, LANES),
+                lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, pv_blk, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (cfg.n_levels * f, pv_blk, LANES),
+            lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (cfg.n_levels * f, m_pad // LANES, LANES), jnp.float32
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(packed, x3)
+    # (L*F, M/128, 128) -> (M, L*F)
+    return out.reshape(cfg.n_levels * f, m_pad).T[:m]

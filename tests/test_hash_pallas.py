@@ -1,4 +1,4 @@
-"""Pallas chunked-VMEM hash-gather kernel vs the pure-JAX reference forward.
+"""Fused Pallas hash-encode kernel vs the pure-JAX reference forward.
 
 Runs in pallas interpret mode on the CPU test platform; the same code path
 compiles to Mosaic on TPU (gated by ``hash_gather_pallas.supported``).
@@ -15,15 +15,15 @@ from atmonr_tpu.models.hash_grid import (
     init_hash_table,
 )
 from atmonr_tpu.ops.hash_gather_pallas import (
-    gather_interp_level,
     hash_encode_pallas_fwd,
-    pack_level_table,
+    pack_tables,
     supported,
 )
 
 
 @pytest.fixture(scope="module")
 def cfg():
+    # mixes dense levels (4^3, 6^3, ...) and hashed levels at 2^9 entries
     return HashGridConfig(
         n_dims=3,
         n_levels=4,
@@ -45,38 +45,54 @@ def test_supported_gate(cfg):
     assert not supported(
         HashGridConfig(n_dims=3, n_levels=4, log2_hashmap_size=19, base_resolution=64)
     )
-
-
-def test_gather_interp_level_matches_manual(table, cfg):
-    level = cfg.n_levels - 1  # largest (hashed) level
-    size = cfg.level_sizes[level]
-    rng = np.random.default_rng(3)
-    r = 256  # one block
-    idx2 = jnp.asarray(rng.integers(0, size, size=(r, 128)), jnp.int32)
-    w2 = jnp.asarray(rng.uniform(0, 1, size=(r, 128)), jnp.float32)
-    packed = pack_level_table(table, cfg.level_offsets[level], size)
-
-    out = gather_interp_level(packed, idx2, w2)  # (F, R, 16)
-
-    t = np.asarray(table[cfg.level_offsets[level] : cfg.level_offsets[level] + size])
-    weighted = t[np.asarray(idx2)] * np.asarray(w2)[..., None]  # (R, 128, F)
-    expect = weighted.reshape(r, 16, 8, cfg.n_features_per_level).sum(axis=2)
-    np.testing.assert_allclose(
-        np.asarray(out), np.moveaxis(expect, -1, 0), rtol=1e-6, atol=1e-7
+    # bf16 packing requires exactly 2 features/level
+    assert not supported(
+        HashGridConfig(n_dims=3, n_levels=4, n_features_per_level=4,
+                       log2_hashmap_size=9),
+        mode="bf16",
     )
 
 
-def test_pallas_fwd_matches_reference_impl(table, cfg):
+def test_pack_tables_roundtrip(table, cfg):
+    packed, offs, counts = pack_tables(table, cfg, "f32")
+    assert packed.shape[0] == 2 and packed.shape[2] == 128
+    assert offs[0] == 0 and len(offs) == len(counts) == cfg.n_levels
+    assert packed.shape[1] == sum(counts)
+    # level 0 is dense 4x4x4 = 64 entries, padded to one 128-chunk
+    w0 = jax.lax.bitcast_convert_type(packed[0, 0, :64], jnp.float32)
+    np.testing.assert_array_equal(np.asarray(w0), np.asarray(table[:64, 0]))
+
+
+def test_pallas_fwd_f32_exact(table, cfg):
     x = jax.random.uniform(jax.random.PRNGKey(7), (300, 3))
-    got = hash_encode_pallas_fwd(table, x, cfg)
+    got = hash_encode_pallas_fwd(table, x, cfg, mode="f32")
     want = _hash_encode_impl(table, x, cfg)
     assert got.shape == want.shape == (300, cfg.n_output_dims)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-9)
+
+
+def test_pallas_fwd_bf16_matches_rounded_table(table, cfg):
+    x = jax.random.uniform(jax.random.PRNGKey(8), (300, 3))
+    got = hash_encode_pallas_fwd(table, x, cfg, mode="bf16")
+    rounded = table.astype(jnp.bfloat16).astype(jnp.float32)
+    want = _hash_encode_impl(rounded, x, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-9)
+    # and close to the exact f32 result at bf16 tolerance
+    exact = _hash_encode_impl(table, x, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact), rtol=2e-2, atol=1e-6)
 
 
 def test_pallas_fwd_out_of_range_positions(table, cfg):
     # positions slightly outside [0,1] must still agree (clamp/hash-wrap)
     x = jax.random.uniform(jax.random.PRNGKey(9), (64, 3), minval=-0.1, maxval=1.1)
-    got = hash_encode_pallas_fwd(table, x, cfg)
+    got = hash_encode_pallas_fwd(table, x, cfg, mode="f32")
     want = _hash_encode_impl(table, x, cfg)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-9)
+
+
+def test_pallas_fwd_block_multiple(table, cfg):
+    # exactly one kernel block, no padding path
+    x = jax.random.uniform(jax.random.PRNGKey(10), (4096, 3))
+    got = hash_encode_pallas_fwd(table, x, cfg, mode="f32")
+    want = _hash_encode_impl(table, x, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-9)

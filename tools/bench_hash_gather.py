@@ -55,7 +55,12 @@ def main():
     print(f"XLA gather fwd:    {t_xla*1e3:8.2f} ms  "
           f"({lookups/t_xla/1e6:8.1f} M lookups/s)")
 
-    pal = jax.jit(lambda t, p: hash_encode_pallas_fwd(t, p, cfg))
+    pal = jax.jit(lambda t, p: hash_encode_pallas_fwd(t, p, cfg, mode="f32"))
+    t_f32 = timed(pal, table, x, label="pallas-f32")
+    print(f"Pallas f32 fwd:    {t_f32*1e3:8.2f} ms  "
+          f"({lookups/t_f32/1e6:8.1f} M lookups/s)  {t_xla/t_f32:.1f}x")
+
+    pal = jax.jit(lambda t, p: hash_encode_pallas_fwd(t, p, cfg, mode="bf16"))
     t_pal = timed(pal, table, x, label="pallas")
     print(f"Pallas gather fwd: {t_pal*1e3:8.2f} ms  "
           f"({lookups/t_pal/1e6:8.1f} M lookups/s)  {t_xla/t_pal:.1f}x")
