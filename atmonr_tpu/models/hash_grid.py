@@ -53,6 +53,11 @@ class HashGridConfig:
     # is small enough, else the XLA gather. "xla" forces the exact XLA path
     # (golden-parity tests); "bf16"/"f32" force the Pallas kernel.
     fwd_mode: str = "auto"
+    # Table-gradient implementation: "auto" picks the Pallas one-hot-matmul
+    # kernel (ops/hash_bwd_pallas.py, bf16 operands / f32 accumulate) on
+    # TPU when the packed gradient fits VMEM, else the sorted segment-sum.
+    # "sort" forces the sorted path; "bf16"/"f32" force the Pallas kernel.
+    bwd_mode: str = "auto"
 
     @staticmethod
     def from_options(options: dict, n_dims: int) -> "HashGridConfig":
@@ -65,6 +70,7 @@ class HashGridConfig:
             base_resolution=int(options["base_resolution"]),
             per_level_scale=float(options["per_level_scale"]),
             fwd_mode=str(options.get("fwd_mode", "auto")),
+            bwd_mode=str(options.get("bwd_mode", "auto")),
         )
 
     @cached_property
@@ -233,26 +239,36 @@ def _hash_encode_fwd(table, x, cfg, compute_dx):
 
 def _hash_encode_bwd(cfg: HashGridConfig, compute_dx: bool, res, g):
     table, x = res
-    m = x.shape[0]
     f = cfg.n_features_per_level
-    n_corners = 2**cfg.n_dims
     corners = jnp.asarray(_corner_offsets(cfg.n_dims), dtype=x.dtype)
+
+    dtable = None
+    if cfg.bwd_mode != "sort" and jax.default_backend() == "tpu":
+        from atmonr_tpu.ops import hash_bwd_pallas as hbp
+
+        mode = "bf16" if cfg.bwd_mode == "auto" else cfg.bwd_mode
+        if hbp.supported(cfg, mode):
+            dtable = hbp.hash_encode_pallas_bwd(x, g, cfg, mode).astype(
+                table.dtype
+            )
 
     all_idx, all_vals = [], []
     dx = jnp.zeros_like(x)
     for level in range(cfg.n_levels):
-        idx, w = level_indices(x, cfg, level)
-        g_l = g[:, level * f : (level + 1) * f]  # (M, F)
-        # table cotangent: w_c * g for each corner, flattened to 1-D scatter
-        vals = w[..., None] * g_l[:, None, :]  # (M, 2^D, F)
-        all_idx.append((cfg.level_offsets[level] + idx).reshape(-1))
-        all_vals.append(vals.reshape(-1, f))
-
+        if dtable is None:
+            idx, w = level_indices(x, cfg, level)
+            g_l = g[:, level * f : (level + 1) * f]  # (M, F)
+            # table cotangent: w_c * g per corner, flattened to 1-D scatter
+            vals = w[..., None] * g_l[:, None, :]  # (M, 2^D, F)
+            all_idx.append((cfg.level_offsets[level] + idx).reshape(-1))
+            all_vals.append(vals.reshape(-1, f))
         if not compute_dx:
             continue
+        if dtable is not None:
+            idx, w = level_indices(x, cfg, level)
+            g_l = g[:, level * f : (level + 1) * f]
         # position cotangent: d(w_c)/d(frac_d) = sign * prod_{e != d} w-factor
         scale = cfg.level_scales[level]
-        res_l = cfg.level_resolutions[level]
         pos = x.astype(jnp.float32) * scale + 0.5
         frac = pos - jnp.floor(pos)
         feats = table[cfg.level_offsets[level] + idx]  # (M, 2^D, F)
@@ -269,12 +285,13 @@ def _hash_encode_bwd(cfg: HashGridConfig, compute_dx: bool, res, g):
                 scale * jnp.sum(sign * others * fg, axis=1).astype(x.dtype)
             )
 
-    idx_flat = jnp.concatenate(all_idx)
-    vals_flat = jnp.concatenate(all_vals).astype(table.dtype)
-    if jax.default_backend() == "tpu":
-        dtable = _segment_sum_sorted(idx_flat, vals_flat, cfg.total_params)
-    else:
-        dtable = jnp.zeros_like(table).at[idx_flat].add(vals_flat)
+    if dtable is None:
+        idx_flat = jnp.concatenate(all_idx)
+        vals_flat = jnp.concatenate(all_vals).astype(table.dtype)
+        if jax.default_backend() == "tpu":
+            dtable = _segment_sum_sorted(idx_flat, vals_flat, cfg.total_params)
+        else:
+            dtable = jnp.zeros_like(table).at[idx_flat].add(vals_flat)
     return dtable, dx
 
 

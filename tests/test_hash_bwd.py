@@ -1,11 +1,79 @@
-"""Tests for the scatter-free (sorted) hash-table gradient path."""
+"""Tests for the scatter-free hash-table gradient paths (sorted + Pallas)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from atmonr_tpu.models import hash_grid as hg
 from atmonr_tpu.models.hash_grid import _segment_sum_sorted
+from atmonr_tpu.ops import hash_bwd_pallas as hbp
+
+
+def _scatter_ref(cfg, x, g):
+    ref = jnp.zeros((cfg.total_params, cfg.n_features_per_level))
+    for level in range(cfg.n_levels):
+        idx, w = hg.level_indices(x, cfg, level)
+        g_l = g[:, 2 * level : 2 * level + 2]
+        vals = w[..., None] * g_l[:, None, :]
+        ref = ref.at[(cfg.level_offsets[level] + idx).reshape(-1)].add(
+            vals.reshape(-1, 2)
+        )
+    return ref
+
+
+@pytest.mark.parametrize("mode,rtol", [("f32", 1e-5), ("bf16", 2e-2)])
+def test_hash_bwd_pallas_matches_scatter(mode, rtol):
+    """The one-hot-matmul kernel (interpret mode on CPU) vs dense scatter,
+    including a mix of dense and hashed levels and M % block != 0 padding."""
+    cfg = hg.HashGridConfig(
+        n_dims=3, n_levels=4, n_features_per_level=2,
+        log2_hashmap_size=10, base_resolution=4, per_level_scale=2.0,
+    )
+    m = 2048 + 77  # exercises the in-kernel zero-cotangent padding
+    x = jax.random.uniform(jax.random.PRNGKey(1), (m, 3))
+    g = jax.random.normal(jax.random.PRNGKey(2), (m, cfg.n_output_dims))
+    ref = _scatter_ref(cfg, x, g)
+    out = hbp.hash_encode_pallas_bwd(x, g, cfg, mode)
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=0, atol=rtol * scale
+    )
+
+
+def test_hash_bwd_pallas_supported_gate():
+    small = hg.HashGridConfig(
+        n_dims=3, n_levels=16, n_features_per_level=2,
+        log2_hashmap_size=15, base_resolution=16, per_level_scale=1.3819,
+    )
+    assert hbp.supported(small)  # flagship TPU config
+    big = hg.HashGridConfig(
+        n_dims=3, n_levels=16, n_features_per_level=2,
+        log2_hashmap_size=21, base_resolution=16, per_level_scale=1.3819,
+    )
+    assert not hbp.supported(big)  # reference config -> sorted fallback
+    surf = hg.HashGridConfig(n_dims=2, n_levels=8, n_features_per_level=2,
+                             log2_hashmap_size=15, base_resolution=16,
+                             per_level_scale=1.5)
+    assert not hbp.supported(surf)  # 2-D surface grid -> fallback
+
+
+def test_bwd_row_layout_round_trip():
+    """unpack_grad_rows inverts the kernel's packed row layout exactly."""
+    cfg = hg.HashGridConfig(
+        n_dims=3, n_levels=3, n_features_per_level=2,
+        log2_hashmap_size=9, base_resolution=4, per_level_scale=2.3,
+    )
+    row_offs, row_counts, r_total = hbp.bwd_row_layout(cfg)
+    packed = jnp.zeros((r_total, 128))
+    # write a recognizable value for entry (level=2, t=37, f=1)
+    level, t, f = 2, 37, 1
+    j = 2 * (t // 128) + f
+    packed = packed.at[row_offs[level] + j, t % 128].set(7.0)
+    flat = hbp.unpack_grad_rows(packed, cfg)
+    assert flat.shape == (cfg.total_params, 2)
+    assert float(flat[cfg.level_offsets[level] + t, f]) == 7.0
+    assert float(jnp.sum(jnp.abs(flat))) == 7.0
 
 
 def test_segment_sum_sorted_matches_scatter():
