@@ -46,31 +46,39 @@ _UNROLL = 8
 _BLOCK_POINTS = 4096  # points per grid step; 32 (8,128) vregs per corner
 
 
-def _scan_chunks(table_ref, word: int, cid, local, c_begin: int, c_end: int):
-    """Masked chunk scan over one level's global chunk range: returns the
-    packed u32 feature word for each lookup. ``cid`` is the global chunk id
-    (level chunk offset already added)."""
+def _scan_chunks(table_ref, word: int, cids, locals_, c_begin: int, c_end: int):
+    """Masked chunk scan over one level's global chunk range, serving ALL
+    corners' lookups in one pass so the per-chunk table-row broadcast is
+    shared (8 corners: 17 VPU ops/chunk instead of 24). ``cids`` holds the
+    global chunk id per corner (level chunk offset already added); returns
+    one packed u32 feature word per corner per lookup."""
 
-    def step(c, acc):
+    def step(c, accs):
         vals = table_ref[word, c, :]  # (128,) u32
-        vals_b = jnp.broadcast_to(vals[None, :], cid.shape)
-        g = jnp.take_along_axis(vals_b, local, axis=1)
-        return jnp.where(cid == c, g, acc)
+        vals_b = jnp.broadcast_to(vals[None, :], cids[0].shape)
+        return tuple(
+            jnp.where(
+                cids[k] == c,
+                jnp.take_along_axis(vals_b, locals_[k], axis=1),
+                accs[k],
+            )
+            for k in range(len(cids))
+        )
 
-    def group_body(i, acc):
+    def group_body(i, accs):
         c0 = c_begin + i * _UNROLL
         for u in range(_UNROLL):
-            acc = step(c0 + u, acc)
-        return acc
+            accs = step(c0 + u, accs)
+        return accs
 
-    acc = jnp.zeros(cid.shape, jnp.uint32)
+    accs = tuple(jnp.zeros(cids[0].shape, jnp.uint32) for _ in cids)
     n = c_end - c_begin
     groups = n // _UNROLL
     if groups:
-        acc = jax.lax.fori_loop(0, groups, group_body, acc)
+        accs = jax.lax.fori_loop(0, groups, group_body, accs)
     for c in range(c_begin + groups * _UNROLL, c_end):  # static remainder
-        acc = step(c, acc)
-    return acc
+        accs = step(c, accs)
+    return accs
 
 
 def _unpack_bf16_pair(packed):
@@ -107,6 +115,7 @@ def _fused_kernel(
         acc = [jnp.zeros_like(x[0]) for _ in range(f)]
         c_begin = chunk_offs[level]
         c_end = c_begin + chunk_counts[level]
+        cids, locals_, ws = [], [], []
         for corner in range(8):
             cbits = [(corner >> d) & 1 for d in range(3)]
             g = [b + cb for b, cb in zip(base, cbits)]
@@ -120,20 +129,25 @@ def _fused_kernel(
             w = jnp.ones_like(x[0])
             for d in range(3):
                 w = w * (frac[d] if cbits[d] else 1.0 - frac[d])
-            cid = jax.lax.shift_right_logical(idx, 7) + c_begin
-            local = jax.lax.bitwise_and(idx, LANES - 1)
-            if mode == "bf16":
-                packed = _scan_chunks(table_ref, 0, cid, local, c_begin, c_end)
-                f0, f1 = _unpack_bf16_pair(packed)
-                acc[0] = acc[0] + w * f0
-                acc[1] = acc[1] + w * f1
-            else:
-                for word in range(f):
-                    bits = _scan_chunks(
-                        table_ref, word, cid, local, c_begin, c_end
+            cids.append(jax.lax.shift_right_logical(idx, 7) + c_begin)
+            locals_.append(jax.lax.bitwise_and(idx, LANES - 1))
+            ws.append(w)
+        if mode == "bf16":
+            packed = _scan_chunks(table_ref, 0, cids, locals_, c_begin, c_end)
+            for corner in range(8):
+                f0, f1 = _unpack_bf16_pair(packed[corner])
+                acc[0] = acc[0] + ws[corner] * f0
+                acc[1] = acc[1] + ws[corner] * f1
+        else:
+            for word in range(f):
+                bits = _scan_chunks(
+                    table_ref, word, cids, locals_, c_begin, c_end
+                )
+                for corner in range(8):
+                    fv = jax.lax.bitcast_convert_type(
+                        bits[corner], jnp.float32
                     )
-                    fv = jax.lax.bitcast_convert_type(bits, jnp.float32)
-                    acc[word] = acc[word] + w * fv
+                    acc[word] = acc[word] + ws[corner] * fv
         for word in range(f):
             out_ref[level * f + word] = acc[word]
 
