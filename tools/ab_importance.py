@@ -1,0 +1,96 @@
+"""A/B on real TPU: uniform-128 vs importance-sampled 32+32 Instant-NGP.
+
+Trains both variants on the same synthetic granule for the same number of
+iterations with a bare jitted step (no per-epoch metric sync), then scores
+final PSNR/SSIM once with deterministic eval — the evidence behind
+configs/instant_ngp_tpu_fast.json.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def run(name: str, path: str, num_iters: int) -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from atmonr_tpu.data.batching import batch_at_step, epoch_permutation
+    from atmonr_tpu.data.harp2 import HARP2Dataset
+    from atmonr_tpu.data.synthetic import make_synthetic_granule
+    from atmonr_tpu.pipelines import get_pipeline
+    from atmonr_tpu.training.metrics import image_metrics
+    from atmonr_tpu.utils import load_config
+
+    cfg = load_config(path)
+    granule = make_synthetic_granule(height=96, width=48, views_per_band=2)
+    ds = HARP2Dataset(cfg["dataset"], granule)
+    pipe = get_pipeline(cfg["pipeline"], ds)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    opt = pipe.make_optimizer(
+        cfg["trainer"]["optimizer"], float(cfg["trainer"]["optimizer"]["lr"])
+    )
+    opt_state = opt.init(params)
+    rays = ds.rays()
+    b = min(8192, ds.num_rays)
+    steps_per_epoch = max(1, ds.num_rays // b)
+
+    @jax.jit
+    def step(params, opt_state, perm, i, key):
+        batch = batch_at_step(rays, perm, i % steps_per_epoch, b)
+
+        def loss_fn(p):
+            out = pipe.forward(p, batch, key)
+            return pipe.compute_loss(batch, out)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(1)
+    perm = epoch_permutation(jax.random.PRNGKey(2), ds.num_rays, b)
+    # compile outside the timed region
+    params, opt_state, loss = step(params, opt_state, perm, jnp.asarray(0), key)
+    _ = float(loss)
+    t0 = time.perf_counter()
+    for i in range(1, num_iters):
+        if i % steps_per_epoch == 0:
+            perm = epoch_permutation(jax.random.fold_in(key, i), ds.num_rays, b)
+        params, opt_state, loss = step(
+            params, opt_state, perm, jnp.asarray(i), jax.random.fold_in(key, i)
+        )
+    final_loss = float(loss)
+    dt = time.perf_counter() - t0
+
+    # deterministic full-dataset eval
+    preds = []
+    for s in range(0, ds.num_rays, b):
+        sl = {k: v[s : s + b] for k, v in rays.items()}
+        out = pipe.forward(params, sl, key=None)
+        pred = jnp.take_along_axis(
+            out["color_map_fine"], sl["irgb_idx"][:, None], axis=1
+        )[:, 0]
+        preds.append(np.asarray(pred))
+    pred_img = ds.scatter_image(np.concatenate(preds))
+    m = image_metrics(pred_img, ds.target_image(), ds.max_i)
+    print(
+        f"[{name}] {num_iters} iters in {dt:.1f}s "
+        f"({num_iters * b / dt:.0f} rays/s) loss={final_loss:.4f} "
+        f"PSNR={m['PSNR_mean']:.3f} SSIM={m['SSIM_mean']:.4f}",
+        flush=True,
+    )
+
+
+def main() -> None:
+    for name, path in (
+        ("uniform128", "configs/instant_ngp_tpu.json"),
+        ("importance32+32", "configs/instant_ngp_tpu_fast.json"),
+    ):
+        run(name, path, num_iters=3000)
+
+
+if __name__ == "__main__":
+    main()
