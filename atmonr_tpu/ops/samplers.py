@@ -115,6 +115,63 @@ def sample_pdf(
     return pts, z_vals
 
 
+def sample_piecewise(
+    ray_batch: Mapping[str, jax.Array],
+    weights: jax.Array,
+    n_samples: int,
+    key: jax.Array | None = None,
+):
+    """Inverse-CDF sampling from a piecewise-constant pdf over uniform bins.
+
+    Unlike :func:`sample_pdf` (the NeRF fine pass, which trims boundary
+    weights and merges the coarse z-vals back in), this treats ``weights``
+    as bin masses over ``n_bins`` equal subdivisions of the FULL [0, len]
+    extent and returns exactly ``n_samples`` sorted samples — the sampler
+    behind the occupancy grid (``ops.occupancy``), whose probes are free and
+    therefore not worth re-evaluating. Draws are stratified in CDF space
+    (one per quantile bin, jittered), midpoint-deterministic when ``key`` is
+    None.
+
+    Args:
+        ray_batch: dict with "origin" (B, 3), "dir" (B, 3), "len" (B,).
+        weights: (B, n_bins) nonnegative bin masses (need not be normalized;
+            must not be all-zero — add a floor upstream).
+        n_samples: samples to draw per ray.
+        key: PRNG key, or None for deterministic quantile midpoints.
+
+    Returns:
+        pts: (B, n_samples, 3). z_vals: (B, n_samples), sorted ascending.
+    """
+    b, n_bins = weights.shape
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.concatenate(
+        [jnp.zeros((b, 1), pdf.dtype), jnp.cumsum(pdf, axis=-1)], axis=-1
+    )  # (B, n_bins + 1), cdf[..., -1] == 1
+
+    quantiles = jnp.arange(n_samples, dtype=cdf.dtype) / n_samples
+    if key is None:
+        u = jnp.broadcast_to(
+            quantiles[None] + 0.5 / n_samples, (b, n_samples)
+        )
+    else:
+        u = quantiles[None] + jax.random.uniform(
+            key, (b, n_samples), dtype=cdf.dtype, maxval=1.0 / n_samples
+        )
+
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.clip(inds - 1, 0, n_bins - 1)
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    pdf_b = jnp.take_along_axis(pdf, below, axis=-1)
+    t_in_bin = (u - cdf_b) / jnp.maximum(pdf_b, 1e-12)
+    z_unit = (below.astype(cdf.dtype) + jnp.clip(t_in_bin, 0.0, 1.0)) / n_bins
+    z_vals = z_unit * ray_batch["len"][:, None]
+    pts = (
+        ray_batch["origin"][:, None]
+        + ray_batch["dir"][:, None] * z_vals[..., None]
+    )
+    return pts, z_vals
+
+
 def sample_biased_bins(
     ray_batch: Mapping[str, jax.Array],
     n_bins: int,

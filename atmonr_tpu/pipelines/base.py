@@ -60,11 +60,21 @@ class Pipeline:
     def init_params(self, key: jax.Array) -> dict:
         raise NotImplementedError
 
+    def init_aux(self) -> dict:
+        """Non-learnable train-state buffers (e.g. the occupancy grid).
+        Empty for pipelines without aux state."""
+        return {}
+
+    def update_aux(self, params: dict, aux: dict, key: jax.Array) -> dict:
+        """Periodic aux refresh (host-side cadence); identity by default."""
+        return aux
+
     def forward(
         self,
         params: dict,
         ray_batch: Mapping[str, jax.Array],
         key: jax.Array | None = None,
+        aux: dict | None = None,
     ) -> dict[str, jax.Array]:
         raise NotImplementedError
 
@@ -88,6 +98,7 @@ class Pipeline:
         params: dict,
         ray_batch: Mapping[str, jax.Array],
         key: jax.Array | None,
+        aux: dict | None = None,
     ):
-        results = self.forward(params, ray_batch, key)
+        results = self.forward(params, ray_batch, key, aux=aux)
         return self.compute_loss(ray_batch, results), results

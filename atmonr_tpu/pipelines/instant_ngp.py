@@ -35,10 +35,12 @@ from atmonr_tpu.models.encoders import (
     parse_encoding_config,
 )
 from atmonr_tpu.models.mlp import small_mlp_apply, small_mlp_init
+from atmonr_tpu.ops import occupancy
 from atmonr_tpu.ops.compositor import render, render_with_surface
 from atmonr_tpu.ops.samplers import (
     append_heights,
     sample_pdf,
+    sample_piecewise,
     sample_uniform_bins,
 )
 from atmonr_tpu.ops.losses import get_loss
@@ -76,6 +78,18 @@ class InstantNGPPipeline(Pipeline):
         # parity tests force f32 via this flag.
         self.compute_dtype = jnp.bfloat16
 
+        self.occ_cfg = None
+        if config.get("occupancy"):
+            # the dense grid re-eval generates points directly in the
+            # preprocessed unit cube; an appended-height channel would need
+            # the inverse preprocessor, which "horizontal" doesn't define
+            assert not config["include_height"], (
+                "occupancy grid requires include_height=false"
+            )
+            self.occ_cfg = occupancy.OccupancyConfig.from_options(
+                config["occupancy"]
+            )
+
     def init_params(self, key: jax.Array) -> dict:
         ngp = self.config["instant_ngp"]
         keys = jax.random.split(key, 6)
@@ -112,14 +126,42 @@ class InstantNGPPipeline(Pipeline):
             params["pos_mlp"], pos_enc, compute_dtype=self.compute_dtype
         )
 
+    # -- occupancy-grid aux state ---------------------------------------------
+
+    def init_aux(self) -> dict:
+        if self.occ_cfg is None:
+            return {}
+        return {"occ": occupancy.init_grid(self.occ_cfg)}
+
+    def update_aux(self, params: dict, aux: dict, key: jax.Array) -> dict:
+        """Full density re-evaluation at jittered cell centers -> EMA-max
+        grid update. Call every ``occupancy.update_every`` steps (host-side
+        cadence); one extra forward over num_cells points."""
+        if self.occ_cfg is None:
+            return aux
+        u = occupancy.cell_points(self.occ_cfg, key)
+        hash_in = jnp.concatenate(
+            [u[:, :2], u[:, 2:] / self.config["alt_compress_factor"]], axis=-1
+        )
+        pos_out = self._pos_branch(params, hash_in)
+        sigma = jax.nn.relu(
+            jnp.max(pos_out[:, : self.num_density_outputs], axis=-1)
+        )
+        return {"occ": occupancy.update_grid(aux["occ"], sigma, self.occ_cfg)}
+
+    def _unit_coords(self, pts: jax.Array) -> jax.Array:
+        """Normalized scene points -> the preprocessed [0,1]^3 cube (the
+        occupancy grid's space: post-preprocessor, pre altitude compression)."""
+        if self.point_preprocessor:
+            pts = self.point_preprocessor(pts)
+        return (pts + 1.0) / 2.0
+
     def _encoder_inputs(self, pts: jax.Array) -> jax.Array:
         """Normalized scene points (B, N, 3) -> hash-encoder inputs: point
         preprocessor, [0,1] remap (Instant-NGP convention, reference
         instant_ngp.py:149-150), optional height channel, altitude
         compression (reference :160)."""
-        if self.point_preprocessor:
-            pts = self.point_preprocessor(pts)
-        pts = (pts + 1.0) / 2.0
+        pts = self._unit_coords(pts)
         if self.config["include_height"]:
             pts = append_heights(
                 pts, self.ray_origin_height, self.scale, self.offset
@@ -135,6 +177,7 @@ class InstantNGPPipeline(Pipeline):
         params: dict,
         ray_batch: Mapping[str, jax.Array],
         key: jax.Array | None,
+        aux: dict | None = None,
     ) -> tuple[jax.Array, jax.Array, int]:
         """Sample positions along rays -> (pts, z_vals, n).
 
@@ -150,6 +193,19 @@ class InstantNGPPipeline(Pipeline):
         coarse pass; the network still trains at the coarse z's because the
         merged fine pass re-evaluates them.
         """
+        if self.occ_cfg is not None and aux:
+            oc = self.occ_cfg
+            if key is not None:
+                kp, kf = jax.random.split(key)
+            else:
+                kp = kf = None
+            pts_p, _ = sample_uniform_bins(ray_batch, oc.n_probe, key=kp)
+            u = self._unit_coords(pts_p)
+            w = occupancy.probe_weights(
+                jax.lax.stop_gradient(aux["occ"]), u, oc
+            )
+            pts, z_vals = sample_piecewise(ray_batch, w, oc.n_fine, key=kf)
+            return pts, z_vals, oc.n_fine
         imp = self.config.get("importance_sampler")
         if not imp:
             n = self.config["num_samples_per_ray"]
@@ -179,10 +235,14 @@ class InstantNGPPipeline(Pipeline):
         params: dict,
         ray_batch: Mapping[str, jax.Array],
         key: jax.Array | None = None,
+        aux: dict | None = None,
     ) -> dict[str, jax.Array]:
-        """One Instant-NGP forward (reference instant_ngp.py:129-206)."""
+        """One Instant-NGP forward (reference instant_ngp.py:129-206).
+
+        ``aux`` carries the occupancy grid when configured; without it the
+        sampler falls back to importance/uniform sampling (eval paths)."""
         b = ray_batch["origin"].shape[0]
-        pts, z_vals, n = self._sample(params, ray_batch, key)
+        pts, z_vals, n = self._sample(params, ray_batch, key, aux)
         pts_surf = (
             ray_batch["origin"] + ray_batch["dir"] * ray_batch["len"][:, None]
         )

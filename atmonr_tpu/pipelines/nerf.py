@@ -115,6 +115,7 @@ class NeRFPipeline(Pipeline):
         params: dict,
         ray_batch: Mapping[str, jax.Array],
         key: jax.Array | None = None,
+        aux: dict | None = None,  # no aux state; accepted for API parity
     ) -> dict[str, jax.Array]:
         kc = kf = None
         if key is not None:

@@ -108,16 +108,23 @@ class Trainer:
         self.optimizer = pipeline.make_optimizer(config["optimizer"], lr_schedule)
 
         key = jax.random.PRNGKey(seed)
-        self.base_key, init_key, self.perm_key = jax.random.split(key, 3)
+        self.base_key, init_key, self.perm_key, self.aux_key = (
+            jax.random.split(key, 4)
+        )
         params = pipeline.init_params(init_key)
         n = len(dataset)
         self.state = {
             "params": params,
             "opt_state": self.optimizer.init(params),
+            "aux": pipeline.init_aux(),
             "pred_pixels": jnp.zeros((n,), jnp.float32),
             "pred_pixels_surf": jnp.zeros((n,), jnp.float32),
             "pred_pixels_atmo": jnp.zeros((n,), jnp.float32),
         }
+        self.aux_update_every = 0
+        if getattr(pipeline, "occ_cfg", None) is not None:
+            self.aux_update_every = pipeline.occ_cfg.update_every
+            self._aux_update = jax.jit(pipeline.update_aux)
         self.epoch_idx = 0
         self.iter_count = 0
 
@@ -153,7 +160,9 @@ class Trainer:
         key = jax.random.fold_in(self.base_key, global_step)
 
         def loss_fn(params):
-            results = self.pipeline.forward(params, batch, key)
+            results = self.pipeline.forward(
+                params, batch, key, aux=state["aux"] or None
+            )
             return self.pipeline.compute_loss(batch, results), results
 
         (loss, results), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -175,6 +184,7 @@ class Trainer:
         new_state = {
             "params": params,
             "opt_state": opt_state,
+            "aux": state["aux"],
             "pred_pixels": state["pred_pixels"]
             .at[idx]
             .set(band_pred("color_map_fine").astype(jnp.float32)),
@@ -209,6 +219,15 @@ class Trainer:
                     self.state, self.rays, perm, i, self.iter_count
                 )
                 self.iter_count += 1
+                if (
+                    self.aux_update_every
+                    and self.iter_count % self.aux_update_every == 0
+                ):
+                    self.state["aux"] = self._aux_update(
+                        self.state["params"],
+                        self.state["aux"],
+                        jax.random.fold_in(self.aux_key, self.iter_count),
+                    )
                 running = running[-self.print_frequency :] + [loss]
                 if self.iter_count % self.print_frequency == 0:
                     mean_loss = float(jnp.mean(jnp.stack(running)))
@@ -264,10 +283,16 @@ class Trainer:
     # -- checkpointing -------------------------------------------------------
 
     def save(self, output_path: str | Path, epoch: int) -> None:
+        saved = {
+            "params": self.state["params"],
+            "opt_state": self.state["opt_state"],
+        }
+        if self.state["aux"]:
+            saved["aux"] = self.state["aux"]
         ckpt.save_checkpoint(
             output_path,
             epoch,
-            {"params": self.state["params"], "opt_state": self.state["opt_state"]},
+            saved,
             extra={
                 "epoch_idx": self.epoch_idx,
                 "iter_count": self.iter_count,
@@ -280,9 +305,13 @@ class Trainer:
             "params": self.state["params"],
             "opt_state": self.state["opt_state"],
         }
+        if self.state["aux"]:
+            template["aux"] = self.state["aux"]
         restored, epoch, extra = ckpt.restore_checkpoint(output_path, template)
         self.state["params"] = restored["params"]
         self.state["opt_state"] = restored["opt_state"]
+        if "aux" in restored:
+            self.state["aux"] = restored["aux"]
         self.epoch_idx = int(extra.get("epoch_idx", epoch))
         self.iter_count = int(extra.get("iter_count", epoch * self.steps_per_epoch))
         if "tensorboard_dir" in extra:

@@ -1,9 +1,10 @@
-"""A/B on real TPU: uniform-128 vs importance-sampled 32+32 Instant-NGP.
+"""A/B on real TPU: uniform-128 vs importance-32+32 vs occupancy-grid
+Instant-NGP sampling.
 
-Trains both variants on the same synthetic granule for the same number of
+Trains each variant on the same synthetic granule for the same number of
 iterations with a bare jitted step (no per-epoch metric sync), then scores
 final PSNR/SSIM once with deterministic eval — the evidence behind
-configs/instant_ngp_tpu_fast.json.
+configs/instant_ngp_tpu_fast.json and configs/instant_ngp_tpu_occ.json.
 """
 
 from __future__ import annotations
@@ -38,12 +39,16 @@ def run(name: str, path: str, num_iters: int) -> None:
     b = min(8192, ds.num_rays)
     steps_per_epoch = max(1, ds.num_rays // b)
 
+    aux = pipe.init_aux()
+    aux_every = pipe.occ_cfg.update_every if getattr(pipe, "occ_cfg", None) else 0
+    aux_update = jax.jit(pipe.update_aux)
+
     @jax.jit
-    def step(params, opt_state, perm, i, key):
+    def step(params, opt_state, aux, perm, i, key):
         batch = batch_at_step(rays, perm, i % steps_per_epoch, b)
 
         def loss_fn(p):
-            out = pipe.forward(p, batch, key)
+            out = pipe.forward(p, batch, key, aux=aux or None)
             return pipe.compute_loss(batch, out)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -53,15 +58,26 @@ def run(name: str, path: str, num_iters: int) -> None:
     key = jax.random.PRNGKey(1)
     perm = epoch_permutation(jax.random.PRNGKey(2), ds.num_rays, b)
     # compile outside the timed region
-    params, opt_state, loss = step(params, opt_state, perm, jnp.asarray(0), key)
+    params, opt_state, loss = step(
+        params, opt_state, aux, perm, jnp.asarray(0), key
+    )
+    if aux_every:
+        aux = aux_update(params, aux, key)
     _ = float(loss)
     t0 = time.perf_counter()
     for i in range(1, num_iters):
         if i % steps_per_epoch == 0:
             perm = epoch_permutation(jax.random.fold_in(key, i), ds.num_rays, b)
         params, opt_state, loss = step(
-            params, opt_state, perm, jnp.asarray(i), jax.random.fold_in(key, i)
+            params,
+            opt_state,
+            aux,
+            perm,
+            jnp.asarray(i),
+            jax.random.fold_in(key, i),
         )
+        if aux_every and i % aux_every == 0:
+            aux = aux_update(params, aux, jax.random.fold_in(key, -i - 1))
     final_loss = float(loss)
     dt = time.perf_counter() - t0
 
@@ -85,11 +101,16 @@ def run(name: str, path: str, num_iters: int) -> None:
 
 
 def main() -> None:
-    for name, path in (
-        ("uniform128", "configs/instant_ngp_tpu.json"),
-        ("importance32+32", "configs/instant_ngp_tpu_fast.json"),
-    ):
-        run(name, path, num_iters=3000)
+    import sys
+
+    variants = {
+        "uniform128": "configs/instant_ngp_tpu.json",
+        "importance32+32": "configs/instant_ngp_tpu_fast.json",
+        "occ64p+32": "configs/instant_ngp_tpu_occ.json",
+    }
+    names = sys.argv[1:] or list(variants)
+    for name in names:
+        run(name, variants[name], num_iters=3000)
 
 
 if __name__ == "__main__":
