@@ -31,6 +31,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from atmonr_tpu.data import batching
 from atmonr_tpu.models.encoders import apply_composite
 from atmonr_tpu.models.mlp import small_mlp_apply
+from atmonr_tpu.ops import occupancy
+from atmonr_tpu.ops.samplers import sample_piecewise, sample_uniform_bins
 from atmonr_tpu.parallel.sharding import render_partial
 
 
@@ -40,39 +42,43 @@ def ngp_forward_sample_sharded(
     ray_batch: Mapping[str, jax.Array],
     mesh: Mesh,
     key: jax.Array | None = None,
+    aux: dict | None = None,
 ) -> dict[str, jax.Array]:
     """Instant-NGP forward with the sample axis sharded over ``mesh["sample"]``.
 
-    Semantically equivalent to ``InstantNGPPipeline.forward`` (stratified
-    sampling is per-shard seeded, so randomness matches in distribution, not
-    bitwise). Batch arrays may simultaneously be sharded over "data".
+    Sample placement (uniform stratified, or occupancy-grid piecewise-CDF
+    when the pipeline has an occupancy config and ``aux`` carries the grid)
+    runs per-ray in the ordinary GSPMD region — identical math to
+    ``InstantNGPPipeline._sample``, so results match the single-device
+    forward bitwise given the same key. Each sample shard then marches its
+    contiguous slice of the sorted z-vals inside the ``shard_map``. Batch
+    arrays may simultaneously be sharded over "data".
     """
-    n = pipe.config["num_samples_per_ray"]
     ns = mesh.shape["sample"]
-    assert n % ns == 0, (n, ns)
-    n_loc = n // ns
     num_bands = pipe.config["num_bands"]
     nd = pipe.num_density_outputs
     scale_km = pipe.scale / 1000.0
 
+    if pipe.occ_cfg is not None and aux:
+        oc = pipe.occ_cfg
+        kp, kf = (None, None) if key is None else jax.random.split(key)
+        pts_p, _ = sample_uniform_bins(ray_batch, oc.n_probe, key=kp)
+        w = occupancy.probe_weights(
+            jax.lax.stop_gradient(aux["occ"]), pipe._unit_coords(pts_p), oc
+        )
+        _, z_vals = sample_piecewise(ray_batch, w, oc.n_fine, key=kf)
+        n = oc.n_fine
+    else:
+        n = pipe.config["num_samples_per_ray"]
+        _, z_vals = sample_uniform_bins(ray_batch, n, key=key)
+    assert n % ns == 0, (n, ns)
+    n_loc = n // ns
+
     vol_params = {"pos_table": params["pos_table"], "pos_mlp": params["pos_mlp"],
                   "dir_mlp": params["dir_mlp"]}
-    # raw (2,) uint32 key data crosses the shard_map boundary (replicated)
-    key_arr = jnp.zeros((2,), jnp.uint32) if key is None else key
-    use_key = key is not None
 
-    def vol(vp, origin, direction, length, karr):
-        s = jax.lax.axis_index("sample")
+    def vol(vp, origin, direction, z):
         b = origin.shape[0]
-        # stratified sampling restricted to this shard's contiguous bins
-        bin_lefts = (jnp.arange(n_loc, dtype=origin.dtype) + s * n_loc) / n
-        if use_key:
-            k = jax.random.fold_in(karr, s)
-            k = jax.random.fold_in(k, jax.lax.axis_index("data"))
-            t = jax.random.uniform(k, (b, n_loc), dtype=origin.dtype)
-        else:
-            t = 0.5
-        z = (bin_lefts[None] + t / n) * length[:, None]
         pts = origin[:, None] + direction[:, None] * z[..., None]
 
         if pipe.point_preprocessor:
@@ -103,15 +109,14 @@ def ngp_forward_sample_sharded(
     color_map_atmo, trans_total, weights = jax.shard_map(
         vol,
         mesh=mesh,
-        in_specs=(P(), P("data"), P("data"), P("data"), P()),
+        in_specs=(P(), P("data"), P("data"), P("data", "sample")),
         out_specs=(P("data"), P("data"), P("data", "sample")),
         check_vma=False,
     )(
         vol_params,
         ray_batch["origin"],
         ray_batch["dir"],
-        ray_batch["len"],
-        key_arr,
+        z_vals,
     )
 
     # surface branch: per-ray, ordinary GSPMD region
@@ -140,15 +145,20 @@ def ngp_forward_sample_sharded(
 
 def make_ngp_sharded_train_step(pipe, optimizer, mesh: Mesh, batch_size: int):
     """Jitted multi-chip train step: gather -> sharded forward -> loss ->
-    grads (ICI all-reduce) -> optax update."""
+    grads (ICI all-reduce) -> optax update. ``train_state`` may carry an
+    "aux" entry (the replicated occupancy grid); refresh it on the host
+    cadence with ``jax.jit(pipe.update_aux)``."""
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(train_state, rays, perm, step_in_epoch, global_step):
         batch = batching.batch_at_step(rays, perm, step_in_epoch, batch_size)
         key = jax.random.fold_in(jax.random.PRNGKey(0), global_step)
+        aux = train_state.get("aux")
 
         def loss_fn(params):
-            results = ngp_forward_sample_sharded(pipe, params, batch, mesh, key)
+            results = ngp_forward_sample_sharded(
+                pipe, params, batch, mesh, key, aux=aux or None
+            )
             return pipe.compute_loss(batch, results)
 
         loss, grads = jax.value_and_grad(loss_fn)(train_state["params"])
@@ -156,6 +166,9 @@ def make_ngp_sharded_train_step(pipe, optimizer, mesh: Mesh, batch_size: int):
             grads, train_state["opt_state"], train_state["params"]
         )
         params = optax.apply_updates(train_state["params"], updates)
-        return {"params": params, "opt_state": opt_state}, loss
+        new_state = {"params": params, "opt_state": opt_state}
+        if aux is not None:
+            new_state["aux"] = aux
+        return new_state, loss
 
     return step

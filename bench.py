@@ -1,12 +1,17 @@
 """Headline benchmark: Instant-NGP training throughput (rays/s/chip).
 
 Measures the full jitted train step — batch gather from the HBM-resident ray
-set, hash-encode + MLP forward over batch x samples points, Beer-Lambert
-compositing with the opaque surface term, loss, backward (including the
-scatter-free sorted hash-table gradient), and the AdamW update — at the TPU
-flagship work rate: 8192 rays/iter x 128 samples/ray with 2^15-entry hash
-levels (configs/instant_ngp_tpu.json), on one TPU chip, on a synthetic HARP2
-granule. The reference's 2^21/1024-sample config remains supported
+set, occupancy-grid probing + piecewise-CDF sample placement, hash-encode +
+MLP forward over batch x samples points, Beer-Lambert compositing with the
+opaque surface term, loss, backward (including the Pallas one-hot-matmul
+hash-table gradient), the AdamW update, AND the periodic dense occupancy
+refresh (its cadence falls inside the timed window) — at the TPU flagship
+work rate: 8192 rays/iter, 64 grid probes placing 32 samples/ray, 2^15-entry
+hash levels (configs/instant_ngp_tpu_occ.json), on one TPU chip, on a
+synthetic HARP2 granule. Quality evidence for this config vs brute-force
+uniform-128 (the reference's strategy, configs/instant_ngp_tpu.json) is
+tools/ab_importance.py: equal PSNR, better SSIM, 2.6x rays/s. The
+reference's 2^21/1024-sample config remains supported
 (configs/instant_ngp.json) on the same code path.
 
 Prints ONE JSON line:
@@ -14,7 +19,7 @@ Prints ONE JSON line:
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md); the
 denominator is a documented estimate of the reference's single-GPU
-throughput: ~1e5 rays/s for tiny-cuda-nn fwd+bwd at this work rate on a
+throughput: ~1e5 rays/s for tiny-cuda-nn fwd+bwd at its work rate on a
 32 GB A100-class GPU (8.4 M point evals/iter at ~0.08 s/iter).
 """
 
@@ -42,14 +47,20 @@ def main() -> None:
     from atmonr_tpu.pipelines import get_pipeline
     from atmonr_tpu.utils import load_config
 
-    config = load_config("configs/instant_ngp_tpu.json")
+    config = load_config("configs/instant_ngp_tpu_occ.json")
 
     granule = make_synthetic_granule(height=48, width=24, views_per_band=2)
     dataset = HARP2Dataset(config["dataset"], granule)
     pipe = get_pipeline(config["pipeline"], dataset)
     params = pipe.init_params(jax.random.PRNGKey(0))
     opt = pipe.make_optimizer(config["trainer"]["optimizer"], 1e-2)
-    state = {"params": params, "opt_state": opt.init(params)}
+    state = {
+        "params": params,
+        "opt_state": opt.init(params),
+        "aux": pipe.init_aux(),
+    }
+    aux_every = pipe.occ_cfg.update_every if pipe.occ_cfg else 0
+    update_aux = jax.jit(pipe.update_aux)
 
     rays = dataset.rays()
     n = len(dataset)
@@ -64,7 +75,7 @@ def main() -> None:
         key = jax.random.fold_in(jax.random.PRNGKey(2), step)
 
         def loss_fn(p):
-            results = pipe.forward(p, batch, key)
+            results = pipe.forward(p, batch, key, aux=state["aux"] or None)
             return pipe.compute_loss(batch, results)
 
         loss, grads = jax.value_and_grad(loss_fn)(state["params"])
@@ -72,19 +83,38 @@ def main() -> None:
             grads, state["opt_state"], state["params"]
         )
         params = optax.apply_updates(state["params"], updates)
-        return {"params": params, "opt_state": opt_state}, loss
+        return {
+            "params": params,
+            "opt_state": opt_state,
+            "aux": state["aux"],
+        }, loss
+
+    def maybe_refresh_occ(state, step):
+        if aux_every and (step + 1) % aux_every == 0:
+            state["aux"] = update_aux(
+                state["params"],
+                state["aux"],
+                jax.random.fold_in(jax.random.PRNGKey(3), step),
+            )
+        return state
 
     # warmup (compile); NOTE: fetch a value — on some PJRT transports
     # block_until_ready returns before execution completes
     for i in range(WARMUP_ITERS):
         state, loss = train_step(state, perm, i % steps_per_epoch, i)
+    if aux_every:  # compile the refresh outside the timed window
+        state["aux"] = update_aux(
+            state["params"], state["aux"], jax.random.PRNGKey(3)
+        )
     _ = float(loss)
 
     t0 = time.perf_counter()
     for i in range(TIMED_ITERS):
+        step = WARMUP_ITERS + i
         state, loss = train_step(
-            state, perm, (WARMUP_ITERS + i) % steps_per_epoch, WARMUP_ITERS + i
+            state, perm, step % steps_per_epoch, step
         )
+        state = maybe_refresh_occ(state, step)
     _ = float(loss)
     dt = time.perf_counter() - t0
 

@@ -89,6 +89,75 @@ def test_ngp_sample_sharded_forward_matches_unsharded(dataset):
         )
 
 
+def test_ngp_occupancy_sharded_forward_matches_unsharded(dataset):
+    """Occupancy-grid sampling: sharded == single-device (z placement runs
+    outside the shard_map, so the deterministic paths match exactly)."""
+    from tests.test_occupancy import occ_config
+
+    mesh = make_mesh(data=2, sample=4)
+    pipe = get_pipeline(occ_config(), dataset)
+    pipe.compute_dtype = None  # f32 for exact comparison
+    params = pipe.init_params(jax.random.PRNGKey(1))
+    aux = pipe.init_aux()
+    aux = jax.jit(pipe.update_aux)(params, aux, jax.random.PRNGKey(5))
+
+    rays = dataset.rays()
+    perm = epoch_permutation(jax.random.PRNGKey(0), dataset.num_rays, 64)
+    batch = batch_at_step(rays, perm, jnp.asarray(0), 64)
+
+    ref = pipe.forward(params, batch, key=None, aux=aux)
+    assert ref["z_vals_fine"].shape == (64, 8)  # occupancy path taken
+
+    batch_sharded = {
+        k: jax.device_put(
+            v, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+        )
+        for k, v in batch.items()
+    }
+    params_rep = replicate(params, mesh)
+    aux_rep = replicate(aux, mesh)
+    out = ngp_forward_sample_sharded(
+        pipe, params_rep, batch_sharded, mesh, key=None, aux=aux_rep
+    )
+    for name in ["color_map_fine", "color_map_atmo", "color_map_surf"]:
+        np.testing.assert_allclose(
+            np.asarray(out[name]), np.asarray(ref[name]), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_occupancy_sharded_train_step_runs(dataset):
+    from tests.test_occupancy import occ_config
+
+    mesh = make_mesh(data=4, sample=2)
+    pipe = get_pipeline(occ_config(), dataset)
+    params = pipe.init_params(jax.random.PRNGKey(1))
+    opt = pipe.make_optimizer(
+        {"lr": 1e-2, "betas": (0.9, 0.99), "eps": 1e-15, "weight_decay": 1e-2},
+        1e-2,
+    )
+    state = replicate(
+        {"params": params, "opt_state": opt.init(params), "aux": pipe.init_aux()},
+        mesh,
+    )
+    rays = shard_rays(dataset.rays(), mesh)
+    n = rays["origin"].shape[0]
+    bs = 64
+    step = make_ngp_sharded_train_step(pipe, opt, mesh, bs)
+    update_aux = jax.jit(pipe.update_aux)
+
+    perm = epoch_permutation(jax.random.PRNGKey(0), n, bs)
+    losses = []
+    for i in range(8):
+        state, loss = step(state, rays, perm, i % (n // bs), i)
+        losses.append(float(loss))
+        if (i + 1) % 4 == 0:
+            state["aux"] = update_aux(
+                state["params"], state["aux"], jax.random.PRNGKey(i)
+            )
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_sharded_train_step_runs_and_reduces_loss(dataset):
     mesh = make_mesh(data=4, sample=2)
     pipe = get_pipeline(NGP_CONFIG, dataset)

@@ -77,7 +77,9 @@ def run(name: str, path: str, num_iters: int) -> None:
             jax.random.fold_in(key, i),
         )
         if aux_every and i % aux_every == 0:
-            aux = aux_update(params, aux, jax.random.fold_in(key, -i - 1))
+            aux = aux_update(
+                params, aux, jax.random.fold_in(key, num_iters + i)
+            )
     final_loss = float(loss)
     dt = time.perf_counter() - t0
 
