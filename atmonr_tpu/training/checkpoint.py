@@ -74,11 +74,16 @@ def restore_params(
         epoch = latest_epoch(output_path)
         if epoch is None:
             raise FileNotFoundError(f"no checkpoints under {output_path}")
+    item = {"params": params_template}
+    # explicit restore args re-place each leaf onto the template's sharding —
+    # required when the checkpoint was written by a sharded (mesh) run and
+    # extraction runs on a different device set
+    restore_args = ocp.checkpoint_utils.construct_restore_args(item)
     with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
         out = ckptr.restore(
             output_path / f"epoch_{epoch:04d}",
             args=ocp.args.PyTreeRestore(
-                item={"params": params_template}, partial_restore=True
+                item=item, restore_args=restore_args, partial_restore=True
             ),
         )
     return out["params"]

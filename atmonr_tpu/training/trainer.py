@@ -145,8 +145,25 @@ class Trainer:
         from atmonr_tpu.parallel.sharding import replicate, shard_rays
 
         self.mesh = mesh
-        self.rays = shard_rays(self.rays, mesh)
+        if jax.process_count() > 1:
+            # multi-host: every process contributes only the rows its
+            # addressable devices own (parallel.data); HBM scales 1/hosts
+            from atmonr_tpu.parallel.data import (
+                host_ray_slice,
+                shard_rays_from_hosts,
+            )
+
+            host = self.dataset.host_rays()
+            n_total = host["origin"].shape[0]
+            sl = host_ray_slice(n_total, mesh)
+            self.rays = shard_rays_from_hosts(
+                {k: v[sl] for k, v in host.items()}, n_total, mesh
+            )
+        else:
+            self.rays = shard_rays(self.rays, mesh)
         self.num_rays = int(self.rays["origin"].shape[0])
+        # trimming to a mesh multiple can drop below a dataset-clamped batch
+        self.batch_size = min(self.batch_size, self.num_rays)
         self.steps_per_epoch = max(1, self.num_rays // self.batch_size)
         self.num_epochs = -(-self.num_iters // self.steps_per_epoch)
         self.state = replicate(self.state, mesh)

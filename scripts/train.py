@@ -32,6 +32,13 @@ def parse_args() -> argparse.Namespace:
         help="Device mesh spec 'data=N' or 'data=N,sample=M' for multi-chip "
         "training (default: single device).",
     )
+    parser.add_argument(
+        "--distributed",
+        action="store_true",
+        help="Multi-host: call jax.distributed.initialize() before backend "
+        "init (coordinator/process env via standard JAX env vars); each "
+        "host then feeds only its slice of the ray store.",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--data-root", type=str, default="data")
     parser.add_argument(
@@ -54,6 +61,11 @@ def setup_dir(args: argparse.Namespace, config: dict) -> Path:
 
 def main() -> None:
     args = parse_args()
+
+    if args.distributed:
+        from atmonr_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed()
 
     from atmonr_tpu.data.factory import get_dataset
     from atmonr_tpu.pipelines import get_pipeline

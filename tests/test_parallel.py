@@ -189,6 +189,38 @@ def test_shard_rays_trims_and_places(dataset):
     assert len(rays["origin"].sharding.device_set) == 8
 
 
+def test_host_sharded_ray_store_matches_in_process(dataset):
+    """Single-process degenerate case of the multi-host loading path: the
+    host slice is the full trimmed range and the assembled global array
+    equals shard_rays' placement and values."""
+    from atmonr_tpu.parallel.data import (
+        host_ray_slice,
+        shard_rays_from_hosts,
+        trimmed_ray_count,
+    )
+
+    mesh = make_mesh(data=8, sample=1)
+    host = dataset.host_rays()
+    n_total = host["origin"].shape[0]
+    n = trimmed_ray_count(n_total, mesh)
+    sl = host_ray_slice(n_total, mesh)
+    assert (sl.start, sl.stop) == (0, n)
+
+    local = {k: v[sl] for k, v in host.items()}
+    rays = shard_rays_from_hosts(local, n_total, mesh)
+    ref = shard_rays(dataset.rays(), mesh)
+    for k in ref:
+        assert rays[k].shape == ref[k].shape
+        assert rays[k].sharding.is_equivalent_to(ref[k].sharding, rays[k].ndim)
+        np.testing.assert_array_equal(np.asarray(rays[k]), np.asarray(ref[k]))
+
+    # the store feeds the jitted gather exactly like the in-process one
+    perm = epoch_permutation(jax.random.PRNGKey(0), n, 64)
+    b1 = batch_at_step(rays, perm, jnp.asarray(0), 64)
+    b2 = batch_at_step(ref, perm, jnp.asarray(0), 64)
+    np.testing.assert_array_equal(np.asarray(b1["origin"]), np.asarray(b2["origin"]))
+
+
 def test_trainer_shard_runs(dataset, tmp_path):
     from atmonr_tpu.training import Trainer
     from tests.test_training import TRAINER_CONFIG

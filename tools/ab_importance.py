@@ -112,7 +112,12 @@ def main() -> None:
     }
     names = sys.argv[1:] or list(variants)
     for name in names:
-        run(name, variants[name], num_iters=3000)
+        # accept ad-hoc "name=configs/foo.json" variants alongside the named ones
+        if "=" in name:
+            name, path = name.split("=", 1)
+        else:
+            path = variants[name]
+        run(name, path, num_iters=3000)
 
 
 if __name__ == "__main__":

@@ -30,6 +30,8 @@ def timeit(fn, *args, iters=10, warmup=2):
 
 
 def main():
+    import sys
+
     import optax
 
     from atmonr_tpu.data.harp2 import HARP2Dataset
@@ -38,7 +40,9 @@ def main():
     from atmonr_tpu.pipelines import get_pipeline
     from atmonr_tpu.utils import load_config
 
-    config = load_config("configs/instant_ngp_tpu.json")
+    cfg_path = sys.argv[1] if len(sys.argv) > 1 else "configs/instant_ngp_tpu.json"
+    config = load_config(cfg_path)
+    print(f"config: {cfg_path}")
     granule = make_synthetic_granule(height=48, width=24, views_per_band=2)
     dataset = HARP2Dataset(config["dataset"], granule)
     pipe = get_pipeline(config["pipeline"], dataset)
@@ -51,7 +55,9 @@ def main():
     batch = jax.tree_util.tree_map(lambda a: a[:b], rays)
     key = jax.random.PRNGKey(2)
 
-    n_samples = config["pipeline"]["num_samples_per_ray"]
+    occ = getattr(pipe, "occ_cfg", None)
+    aux = pipe.init_aux() if occ is not None else None
+    n_samples = occ.n_fine if occ else config["pipeline"]["num_samples_per_ray"]
     m = b * n_samples
     cfg3 = pipe.pos_cfg
 
@@ -71,13 +77,13 @@ def main():
     print(f"hash-encode fwd+bwd:            {t*1e3:8.1f} ms")
 
     # 3. full pipeline forward
-    fwd = jax.jit(lambda p, bt, k: pipe.forward(p, bt, k))
+    fwd = jax.jit(lambda p, bt, k: pipe.forward(p, bt, k, aux=aux))
     t = timeit(fwd, params, batch, key)
     print(f"pipeline forward:               {t*1e3:8.1f} ms")
 
     # 4. loss + grad
     def loss_fn(p, bt, k):
-        out = pipe.forward(p, bt, k)
+        out = pipe.forward(p, bt, k, aux=aux)
         return pipe.compute_loss(bt, out)
 
     grad_fn = jax.jit(jax.grad(loss_fn))
