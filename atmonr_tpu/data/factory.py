@@ -23,9 +23,13 @@ def _synthetic_from_name(filename: str) -> GranuleArrays:
     from atmonr_tpu.data.synthetic import make_synthetic_granule
 
     if ":" in filename:
-        dims = filename.split(":", 1)[1]
-        h, w, v = (int(x) for x in dims.split("x"))
-        return make_synthetic_granule(height=h, width=w, views_per_band=v)
+        # "synthetic:HxWxV" or "synthetic:HxWxV:hard" (multi-scale cloud field)
+        parts = filename.split(":")
+        h, w, v = (int(x) for x in parts[1].split("x"))
+        n_blobs = 40 if len(parts) > 2 and parts[2] == "hard" else 1
+        return make_synthetic_granule(
+            height=h, width=w, views_per_band=v, n_blobs=n_blobs
+        )
     return make_synthetic_granule()
 
 

@@ -30,6 +30,7 @@ def make_synthetic_granule(
     max_view_angle: float = 40.0,
     nan_fraction: float = 0.02,
     seed: int = 0,
+    n_blobs: int = 1,
 ) -> GranuleArrays:
     """Build an in-memory fake HARP2 L1B granule.
 
@@ -38,6 +39,11 @@ def make_synthetic_granule(
     views at distinct zenith angles. Radiances are a smooth Gaussian "cloud"
     plus a band-dependent surface term, scaled per-view so multi-angle
     structure exists.
+
+    ``n_blobs > 1`` builds a hard scene instead: a multi-scale field of
+    random Gaussian cells (broken-cloud texture down to a few pixels wide),
+    so model capacity actually discriminates — the default single bump is
+    fit perfectly by tiny models and cannot rank encoder sizes.
     """
     rng = np.random.default_rng(seed)
     n_views = 4 * views_per_band
@@ -70,10 +76,26 @@ def make_synthetic_granule(
 
     # radiances: gaussian cloud bump + surface albedo, per-band scaling
     cy, cx = lat0 + height * pixel_deg / 2, lon0 + width * pixel_deg / 2
-    r2 = ((lat - cy) / (height * pixel_deg / 3)) ** 2 + (
-        (lon - cx) / (width * pixel_deg / 3)
-    ) ** 2
-    cloud = np.exp(-r2)
+    if n_blobs <= 1:
+        r2 = ((lat - cy) / (height * pixel_deg / 3)) ** 2 + (
+            (lon - cx) / (width * pixel_deg / 3)
+        ) ** 2
+        cloud = np.exp(-r2)
+    else:
+        # multi-scale broken-cloud field: cell widths span the swath scale
+        # down to ~2 pixels, log-uniformly
+        cloud = np.zeros_like(lat)
+        lat_span, lon_span = height * pixel_deg, width * pixel_deg
+        for _ in range(n_blobs):
+            by = lat0 + rng.uniform(0.05, 0.95) * lat_span
+            bx = lon0 + rng.uniform(0.05, 0.95) * lon_span
+            sy = np.exp(rng.uniform(np.log(2 * pixel_deg), np.log(lat_span / 4)))
+            sx = np.exp(rng.uniform(np.log(2 * pixel_deg), np.log(lon_span / 4)))
+            amp = rng.uniform(0.3, 1.0)
+            cloud += amp * np.exp(
+                -(((lat - by) / sy) ** 2 + ((lon - bx) / sx) ** 2)
+            )
+        cloud = np.clip(cloud, 0.0, 1.5) / 1.5
     band_scale = np.array([0.8, 1.0, 0.9, 0.7])[bands][:, None, None]
     view_scale = 1.0 - 0.3 * (np.abs(view_angles) / max_view_angle)[:, None, None]
     i = (0.2 + 0.8 * cloud) * band_scale * view_scale * 100.0

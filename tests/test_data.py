@@ -99,6 +99,29 @@ def test_rgb_image(dataset):
     assert rgb.min() >= 0 and rgb.max() <= 1
 
 
+def test_hard_scene_granule():
+    """Multi-blob scene: valid radiances with more texture than the bump."""
+    easy = make_synthetic_granule(height=24, width=16, views_per_band=2)
+    hard = make_synthetic_granule(
+        height=24, width=16, views_per_band=2, n_blobs=40
+    )
+    assert hard.i.shape == easy.i.shape
+    assert np.nanmin(hard.i) > 0
+    # a different field than the single bump, and seed-deterministic
+    assert not np.allclose(
+        np.nan_to_num(hard.i), np.nan_to_num(easy.i), atol=1.0
+    )
+    again = make_synthetic_granule(
+        height=24, width=16, views_per_band=2, n_blobs=40
+    )
+    np.testing.assert_array_equal(
+        np.nan_to_num(hard.i), np.nan_to_num(again.i)
+    )
+    ds = HARP2Dataset(CONFIG, hard)
+    assert ds.num_rays > 0
+    assert np.isfinite(ds.ray_rad).all()
+
+
 def test_granule_file_roundtrip(tmp_path, granule):
     path = tmp_path / "synthetic_l1b.nc"
     write_granule_l1b(granule, path)

@@ -118,6 +118,24 @@ def test_trainer_end_to_end_with_resume(dataset, tmp_path):
     assert trainer2.iter_count == 40
 
 
+def test_trainer_nerf_end_to_end(dataset, tmp_path):
+    """The Trainer handles NeRF's missing surface/atmo maps (the reference's
+    Trainer KeyErrors on them, reference trainer.py:129-140 — fixed here,
+    SURVEY §7 'behavioral quirks')."""
+    from tests.test_pipelines import NERF_CONFIG
+
+    cfg = dict(
+        TRAINER_CONFIG,
+        num_iters=6,
+        scheduler={"type": "target_lr", "final_lr": 1e-4},
+    )
+    pipe = get_pipeline(NERF_CONFIG, dataset)
+    trainer = Trainer(cfg, dataset, pipe, "nerf_exp", data_root=tmp_path)
+    trainer.train(tmp_path / "nerf_out")
+    assert trainer.iter_count == 6
+    assert np.asarray(trainer.state["pred_pixels_surf"]).sum() == 0.0
+
+
 def test_trainer_loss_decreases(dataset, tmp_path):
     cfg = dict(TRAINER_CONFIG, num_iters=60)
     pipe = get_pipeline(NGP_CONFIG, dataset)

@@ -14,7 +14,7 @@ import time
 import numpy as np
 
 
-def run(name: str, path: str, num_iters: int) -> None:
+def run(name: str, path: str, num_iters: int, n_blobs: int = 1) -> None:
     import jax
     import jax.numpy as jnp
     import optax
@@ -27,7 +27,9 @@ def run(name: str, path: str, num_iters: int) -> None:
     from atmonr_tpu.utils import load_config
 
     cfg = load_config(path)
-    granule = make_synthetic_granule(height=96, width=48, views_per_band=2)
+    granule = make_synthetic_granule(
+        height=96, width=48, views_per_band=2, n_blobs=n_blobs
+    )
     ds = HARP2Dataset(cfg["dataset"], granule)
     pipe = get_pipeline(cfg["pipeline"], ds)
     params = pipe.init_params(jax.random.PRNGKey(0))
@@ -110,14 +112,19 @@ def main() -> None:
         "importance32+32": "configs/instant_ngp_tpu_fast.json",
         "occ64p+32": "configs/instant_ngp_tpu_occ.json",
     }
-    names = sys.argv[1:] or list(variants)
+    argv = sys.argv[1:]
+    n_blobs = 1
+    if "hard" in argv:  # multi-scale broken-cloud scene (capacity matters)
+        argv.remove("hard")
+        n_blobs = 40
+    names = argv or list(variants)
     for name in names:
         # accept ad-hoc "name=configs/foo.json" variants alongside the named ones
         if "=" in name:
             name, path = name.split("=", 1)
         else:
             path = variants[name]
-        run(name, path, num_iters=3000)
+        run(name, path, num_iters=3000, n_blobs=n_blobs)
 
 
 if __name__ == "__main__":
