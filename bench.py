@@ -6,13 +6,15 @@ MLP forward over batch x samples points, Beer-Lambert compositing with the
 opaque surface term, loss, backward (including the Pallas one-hot-matmul
 hash-table gradient), the AdamW update, AND the periodic dense occupancy
 refresh (its cadence falls inside the timed window) — at the TPU flagship
-work rate: 8192 rays/iter, 64 grid probes placing 32 samples/ray, 2^15-entry
-hash levels (configs/instant_ngp_tpu_occ.json), on one TPU chip, on a
-synthetic HARP2 granule. Quality evidence for this config vs brute-force
-uniform-128 (the reference's strategy, configs/instant_ngp_tpu.json) is
-tools/ab_importance.py: equal PSNR, better SSIM, 2.6x rays/s. The
-reference's 2^21/1024-sample config remains supported
-(configs/instant_ngp.json) on the same code path.
+work rate: 8192 rays/iter, 64 grid probes placing 32 samples/ray, 2^13-entry
+hash levels (configs/instant_ngp_tpu_occ13.json), on one TPU chip, on a
+synthetic HARP2 granule. Quality evidence (tools/ab_importance.py, 3000
+iters, smooth AND multi-scale "hard" scenes): equal-or-better PSNR/SSIM vs
+both brute-force uniform-128 (the reference's strategy,
+configs/instant_ngp_tpu.json) and the 2^15-table occupancy config
+(instant_ngp_tpu_occ.json), at 4.3x and 1.67x their rays/s respectively;
+2^12 tables degrade PSNR and are not used. The reference's 2^21/1024-sample
+config remains supported (configs/instant_ngp.json) on the same code path.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
@@ -47,7 +49,7 @@ def main() -> None:
     from atmonr_tpu.pipelines import get_pipeline
     from atmonr_tpu.utils import load_config
 
-    config = load_config("configs/instant_ngp_tpu_occ.json")
+    config = load_config("configs/instant_ngp_tpu_occ13.json")
 
     granule = make_synthetic_granule(height=48, width=24, views_per_band=2)
     dataset = HARP2Dataset(config["dataset"], granule)
