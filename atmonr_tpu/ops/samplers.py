@@ -17,6 +17,24 @@ import jax.numpy as jnp
 from atmonr_tpu.geo.wgs84 import cartesian_to_horizontal
 
 
+def _rank_right(cdf: jax.Array, u: jax.Array) -> jax.Array:
+    """Batched ``searchsorted(cdf, u, side="right")`` as a compare-and-sum.
+
+    XLA:TPU lowers vmapped ``searchsorted`` to a serial per-row binary
+    search (measured ~20 ms for (8192, 32) queries over 65-entry CDFs —
+    a third of the whole train step), while the O(n_bins) broadcast
+    comparison is a few million VPU lane-ops, sub-ms. Bin counts here are
+    at most a few hundred, so the linear scan always wins.
+
+    Args: cdf (..., n_bins+1) ascending; u (..., n_samples).
+    Returns (..., n_samples) int32: #{j: cdf[j] <= u}, identical to
+    ``searchsorted(side="right")`` including duplicate-edge behavior.
+    """
+    return jnp.sum(
+        (cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32), axis=-1
+    )
+
+
 def sample_uniform_bins(
     ray_batch: Mapping[str, jax.Array],
     n_bins: int = 64,
@@ -91,7 +109,7 @@ def sample_pdf(
         u = jax.random.uniform(
             key, cdf.shape[:-1] + (n_samples,), dtype=cdf.dtype
         )
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    inds = _rank_right(cdf, u)
     below = jnp.maximum(0, inds - 1)
     above = jnp.minimum(cdf.shape[-1] - 1, inds)
 
@@ -158,10 +176,14 @@ def sample_piecewise(
             key, (b, n_samples), dtype=cdf.dtype, maxval=1.0 / n_samples
         )
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    inds = _rank_right(cdf, u)
     below = jnp.clip(inds - 1, 0, n_bins - 1)
-    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
-    pdf_b = jnp.take_along_axis(pdf, below, axis=-1)
+    # gather cdf/pdf at `below` via masked reductions over the bin axis —
+    # the same serial-gather dodge as _rank_right (take_along_axis lowers
+    # to XLA gather, ~row-serial on TPU)
+    onehot = below[..., :, None] == jnp.arange(n_bins, dtype=below.dtype)
+    cdf_b = jnp.sum(jnp.where(onehot, cdf[..., None, :-1], 0.0), axis=-1)
+    pdf_b = jnp.sum(jnp.where(onehot, pdf[..., None, :], 0.0), axis=-1)
     t_in_bin = (u - cdf_b) / jnp.maximum(pdf_b, 1e-12)
     z_unit = (below.astype(cdf.dtype) + jnp.clip(t_in_bin, 0.0, 1.0)) / n_bins
     z_vals = z_unit * ray_batch["len"][:, None]
