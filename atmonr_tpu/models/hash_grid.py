@@ -196,9 +196,10 @@ def _fwd_dispatch(table: jax.Array, x: jax.Array, cfg: HashGridConfig):
     """Pick the forward gather implementation per ``cfg.fwd_mode``.
 
     The Pallas chunked-VMEM kernel (ops/hash_gather_pallas.py) beats XLA's
-    row gather for <=2^15-entry tables on TPU; everywhere else (CPU tests,
-    big reference tables, 2-D surface grids) the XLA gather applies. The
-    dispatch is trace-time static (backend + static config)."""
+    row gather for <=2^15-entry tables on TPU (2-D surface grids and 3-D
+    volume grids alike); everywhere else (CPU tests, big reference tables)
+    the XLA gather applies. The dispatch is trace-time static (backend +
+    static config)."""
     if cfg.fwd_mode != "xla" and jax.default_backend() == "tpu":
         from atmonr_tpu.ops import hash_gather_pallas as hgp
 

@@ -76,11 +76,11 @@ def bwd_row_layout(cfg) -> tuple[tuple[int, ...], tuple[int, ...], int]:
 
 
 def supported(cfg, mode: str = "bf16", max_rows: int = 1 << 13) -> bool:
-    """Gate: 3-D grids, 2 features (the row interleave), and a packed
+    """Gate: 2-D/3-D grids, 2 features (the row interleave), and a packed
     gradient small enough to keep resident in VMEM (~4 MB at 8192 rows).
     The reference's 2^21-entry tables fail the gate and use the sorted
     segment-sum fallback."""
-    if cfg.n_dims != 3 or cfg.n_features_per_level != 2:
+    if cfg.n_dims not in (2, 3) or cfg.n_features_per_level != 2:
         return False
     return bwd_row_layout(cfg)[2] <= max_rows
 
@@ -104,6 +104,8 @@ def _bwd_kernel(
 
     dt = jnp.bfloat16 if mode == "bf16" else jnp.float32
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    nd = cfg.n_dims
+    n_corners = 1 << nd
 
     for level in range(cfg.n_levels):
         scale = float(cfg.level_scales[level])
@@ -114,7 +116,7 @@ def _bwd_kernel(
 
         def s_body(s, acc, *, j_rows=j_rows, iota_j=iota_j, scale=scale,
                    res=res, dense=dense, level=level):
-            xr = [x_ref[d, pl.ds(s, 1), :] for d in range(3)]  # (1, 128)
+            xr = [x_ref[d, pl.ds(s, 1), :] for d in range(nd)]  # (1, 128)
             pos = [xd * scale + 0.5 for xd in xr]
             pg = [jnp.floor(p) for p in pos]
             frac = [p - g for p, g in zip(pos, pg)]
@@ -123,20 +125,26 @@ def _bwd_kernel(
             g1 = g_ref[2 * level + 1, pl.ds(s, 1), :]
             # Bv rows alternate features: row j carries g[j & 1]
             g_sel = jnp.where((iota_j & 1) == 0, g0, g1).astype(dt)
-            for corner in range(8):
-                cbits = [(corner >> d) & 1 for d in range(3)]
+            for corner in range(n_corners):
+                cbits = [(corner >> d) & 1 for d in range(nd)]
                 g3 = [b + cb for b, cb in zip(base, cbits)]
                 if dense:
-                    idx = g3[0] + g3[1] * res + g3[2] * (res * res)
+                    idx = g3[0]
+                    stride = 1
+                    for d in range(1, nd):
+                        stride *= res
+                        idx = idx + g3[d] * stride
                 else:
                     h = g3[0].astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
-                    h = h ^ (g3[1].astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
-                    h = h ^ (g3[2].astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
+                    for d in range(1, nd):
+                        h = h ^ (
+                            g3[d].astype(jnp.uint32) * jnp.uint32(_PRIMES[d])
+                        )
                     idx = (h & jnp.uint32(cfg.hashmap_size - 1)).astype(
                         jnp.int32
                     )
                 w = jnp.ones_like(xr[0])
-                for d in range(3):
+                for d in range(nd):
                     w = w * (frac[d] if cbits[d] else 1.0 - frac[d])
                 cid = jax.lax.shift_right_logical(idx, 7)  # (1, 128)
                 local = jax.lax.bitwise_and(idx, LANES - 1)
@@ -175,20 +183,21 @@ def unpack_grad_rows(packed: jax.Array, cfg) -> jax.Array:
 def hash_encode_pallas_bwd(
     x: jax.Array, g: jax.Array, cfg, mode: str = "bf16"
 ) -> jax.Array:
-    """Hash-table cotangent: (M, 3) positions + (M, L*F) output cotangent
+    """Hash-table cotangent: (M, D) positions + (M, L*F) output cotangent
     -> (total_params, F) table gradient, one pallas_call (no sort, no
     scatter)."""
-    assert cfg.n_dims == 3 and cfg.n_features_per_level == 2
+    assert cfg.n_dims in (2, 3) and cfg.n_features_per_level == 2
+    nd = cfg.n_dims
     m = x.shape[0]
     m_pad = -(-m // _BLOCK_POINTS) * _BLOCK_POINTS
     if m_pad != m:
         # zero cotangent padding contributes nothing; x pads in-range
-        x = jnp.concatenate([x, jnp.zeros((m_pad - m, 3), x.dtype)], axis=0)
+        x = jnp.concatenate([x, jnp.zeros((m_pad - m, nd), x.dtype)], axis=0)
         g = jnp.concatenate(
             [g, jnp.zeros((m_pad - m, g.shape[1]), g.dtype)], axis=0
         )
     lf = cfg.n_levels * cfg.n_features_per_level
-    x3 = x.astype(jnp.float32).T.reshape(3, m_pad // LANES, LANES)
+    x3 = x.astype(jnp.float32).T.reshape(nd, m_pad // LANES, LANES)
     gt = g.astype(jnp.float32).T.reshape(lf, m_pad // LANES, LANES)
     row_offs, row_counts, r_total = bwd_row_layout(cfg)
     pv = _BLOCK_POINTS // LANES
@@ -206,7 +215,7 @@ def hash_encode_pallas_bwd(
         grid=(m_pad // _BLOCK_POINTS,),
         in_specs=[
             pl.BlockSpec(
-                (3, pv, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (nd, pv, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (lf, pv, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM

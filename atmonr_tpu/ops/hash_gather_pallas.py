@@ -42,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-_UNROLL = 8
+_UNROLL = 32  # swept 8/16/32 x block 4096/8192/16384 on v5e: 32/4096 best (~7%)
 _BLOCK_POINTS = 4096  # points per grid step; 32 (8,128) vregs per corner
 
 
@@ -101,7 +101,9 @@ def _fused_kernel(
     from atmonr_tpu.models.hash_grid import _PRIMES
 
     f = cfg.n_features_per_level
-    x = [x_ref[d] for d in range(3)]  # (PV, 128) f32 each
+    nd = cfg.n_dims
+    n_corners = 1 << nd
+    x = [x_ref[d] for d in range(nd)]  # (PV, 128) f32 each
     for level in range(cfg.n_levels):
         scale = float(cfg.level_scales[level])
         res = int(cfg.level_resolutions[level])
@@ -116,25 +118,29 @@ def _fused_kernel(
         c_begin = chunk_offs[level]
         c_end = c_begin + chunk_counts[level]
         cids, locals_, ws = [], [], []
-        for corner in range(8):
-            cbits = [(corner >> d) & 1 for d in range(3)]
+        for corner in range(n_corners):
+            cbits = [(corner >> d) & 1 for d in range(nd)]
             g = [b + cb for b, cb in zip(base, cbits)]
             if dense:
-                idx = g[0] + g[1] * res + g[2] * (res * res)
+                idx = g[0]
+                stride = 1
+                for d in range(1, nd):
+                    stride *= res
+                    idx = idx + g[d] * stride
             else:
                 h = g[0].astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
-                h = h ^ (g[1].astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
-                h = h ^ (g[2].astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
+                for d in range(1, nd):
+                    h = h ^ (g[d].astype(jnp.uint32) * jnp.uint32(_PRIMES[d]))
                 idx = (h & jnp.uint32(cfg.hashmap_size - 1)).astype(jnp.int32)
             w = jnp.ones_like(x[0])
-            for d in range(3):
+            for d in range(nd):
                 w = w * (frac[d] if cbits[d] else 1.0 - frac[d])
             cids.append(jax.lax.shift_right_logical(idx, 7) + c_begin)
             locals_.append(jax.lax.bitwise_and(idx, LANES - 1))
             ws.append(w)
         if mode == "bf16":
             packed = _scan_chunks(table_ref, 0, cids, locals_, c_begin, c_end)
-            for corner in range(8):
+            for corner in range(n_corners):
                 f0, f1 = _unpack_bf16_pair(packed[corner])
                 acc[0] = acc[0] + ws[corner] * f0
                 acc[1] = acc[1] + ws[corner] * f1
@@ -143,7 +149,7 @@ def _fused_kernel(
                 bits = _scan_chunks(
                     table_ref, word, cids, locals_, c_begin, c_end
                 )
-                for corner in range(8):
+                for corner in range(n_corners):
                     fv = jax.lax.bitcast_convert_type(
                         bits[corner], jnp.float32
                     )
@@ -201,20 +207,21 @@ def pack_tables(table: jax.Array, cfg, mode: str):
 
 
 def supported(cfg, mode: str = "bf16", max_table_entries: int = 1 << 15) -> bool:
-    """Whether the Pallas path applies: 3-D grids with every level's table
-    small enough that the chunk scan beats the XLA gather (the scan is
-    O(table_size x lookups))."""
+    """Whether the Pallas path applies: 2-D/3-D grids with every level's
+    table small enough that the chunk scan beats the XLA gather (the scan
+    is O(table_size x lookups))."""
     if mode == "bf16" and cfg.n_features_per_level != 2:
         return False
-    return cfg.n_dims == 3 and max(cfg.level_sizes) <= max_table_entries
+    return cfg.n_dims in (2, 3) and max(cfg.level_sizes) <= max_table_entries
 
 
 def hash_encode_pallas_fwd(
     table: jax.Array, x: jax.Array, cfg, mode: str = "bf16"
 ) -> jax.Array:
     """Fused forward-equivalent of ``hash_grid._hash_encode_impl``:
-    (M, 3) positions -> (M, L*F) features, one pallas_call."""
-    assert cfg.n_dims == 3, cfg.n_dims
+    (M, D) positions -> (M, L*F) features, one pallas_call."""
+    assert cfg.n_dims in (2, 3), cfg.n_dims
+    nd = cfg.n_dims
     f = cfg.n_features_per_level
     m = x.shape[0]
     m_pad = -(-m // _BLOCK_POINTS) * _BLOCK_POINTS
@@ -222,8 +229,8 @@ def hash_encode_pallas_fwd(
         x = jnp.concatenate(
             [x, jnp.zeros((m_pad - m, x.shape[1]), x.dtype)], axis=0
         )
-    # (M, 3) -> (3, M/128, 128): coordinate-major, naturally lane-tiled
-    x3 = x.astype(jnp.float32).T.reshape(3, m_pad // LANES, LANES)
+    # (M, D) -> (D, M/128, 128): coordinate-major, naturally lane-tiled
+    x3 = x.astype(jnp.float32).T.reshape(nd, m_pad // LANES, LANES)
     packed, chunk_offs, chunk_counts = pack_tables(table, cfg, mode)
     n_words = packed.shape[0]
     total_chunks = packed.shape[1]
@@ -246,7 +253,7 @@ def hash_encode_pallas_fwd(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (3, pv_blk, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (nd, pv_blk, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(

@@ -55,7 +55,28 @@ def test_hash_bwd_pallas_supported_gate():
     surf = hg.HashGridConfig(n_dims=2, n_levels=8, n_features_per_level=2,
                              log2_hashmap_size=15, base_resolution=16,
                              per_level_scale=1.5)
-    assert not hbp.supported(surf)  # 2-D surface grid -> fallback
+    assert hbp.supported(surf)  # 2-D surface grids run the kernel too
+    assert not hbp.supported(
+        hg.HashGridConfig(n_dims=4, n_levels=8, n_features_per_level=2,
+                          log2_hashmap_size=10)
+    )
+
+
+def test_hash_bwd_pallas_2d_matches_scatter():
+    """2-D grids (the Instant-NGP surface branch) through the same kernel."""
+    cfg = hg.HashGridConfig(
+        n_dims=2, n_levels=4, n_features_per_level=2,
+        log2_hashmap_size=9, base_resolution=4, per_level_scale=2.0,
+    )
+    m = 1024 + 33
+    x = jax.random.uniform(jax.random.PRNGKey(4), (m, 2))
+    g = jax.random.normal(jax.random.PRNGKey(5), (m, cfg.n_output_dims))
+    ref = _scatter_ref(cfg, x, g)
+    out = hbp.hash_encode_pallas_bwd(x, g, cfg, "f32")
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=0, atol=1e-5 * scale
+    )
 
 
 def test_bwd_row_layout_round_trip():

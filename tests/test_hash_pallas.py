@@ -41,7 +41,9 @@ def table(cfg):
 
 def test_supported_gate(cfg):
     assert supported(cfg)
-    assert not supported(HashGridConfig(n_dims=2, n_levels=4, log2_hashmap_size=9))
+    # 2-D grids (the surface branch) are supported too; 4-D are not
+    assert supported(HashGridConfig(n_dims=2, n_levels=4, log2_hashmap_size=9))
+    assert not supported(HashGridConfig(n_dims=4, n_levels=4, log2_hashmap_size=9))
     assert not supported(
         HashGridConfig(n_dims=3, n_levels=4, log2_hashmap_size=19, base_resolution=64)
     )
@@ -95,4 +97,22 @@ def test_pallas_fwd_block_multiple(table, cfg):
     x = jax.random.uniform(jax.random.PRNGKey(10), (4096, 3))
     got = hash_encode_pallas_fwd(table, x, cfg, mode="f32")
     want = _hash_encode_impl(table, x, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-9)
+
+
+def test_pallas_fwd_2d_exact():
+    """2-D grids (the Instant-NGP surface branch) run the same kernel."""
+    cfg2 = HashGridConfig(
+        n_dims=2,
+        n_levels=4,
+        n_features_per_level=2,
+        log2_hashmap_size=9,
+        base_resolution=4,
+        per_level_scale=1.5,
+    )
+    table2 = init_hash_table(jax.random.PRNGKey(3), cfg2)
+    x = jax.random.uniform(jax.random.PRNGKey(11), (300, 2))
+    got = hash_encode_pallas_fwd(table2, x, cfg2, mode="f32")
+    want = _hash_encode_impl(table2, x, cfg2)
+    assert got.shape == want.shape == (300, cfg2.n_output_dims)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-9)
