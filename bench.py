@@ -34,8 +34,12 @@ import time
 REFERENCE_RAYS_PER_S_ESTIMATE = 1.0e5
 
 BATCH_SIZE = 8192
-WARMUP_ITERS = 3
-TIMED_ITERS = 20
+WARMUP_ITERS = 5
+# wide window: at ~20 ms/step, 20 iters was dominated by transport jitter
+# and the tail sync (measured 2x slower than a 3000-iter loop of the same
+# jitted step); 250 iters covers ~15 occupancy refreshes and ~5 s of steady
+# state
+TIMED_ITERS = 250
 
 
 def main() -> None:
