@@ -216,12 +216,26 @@ class Trainer:
 
     # -- the epoch loop ------------------------------------------------------
 
+    def install_preemption_handler(self) -> None:
+        """Preemption-safe training: on SIGTERM (the TPU-pod maintenance /
+        spot-reclaim signal), finish the in-flight step, write a checkpoint,
+        and return cleanly from ``train`` so ``--resume`` restarts exactly
+        where it stopped. The reference has no failure handling at all
+        (SURVEY §5); this is the minimum a preemptible fleet needs."""
+        import signal
+
+        def _on_sigterm(signum, frame):
+            self._preempted = True
+
+        signal.signal(signal.SIGTERM, _on_sigterm)
+
     def train(self, output_path: str | Path, profile: bool = False) -> None:
         output_path = Path(output_path)
         output_path.mkdir(parents=True, exist_ok=True)
         running: list[Any] = []
         last_len = 0
         profiling = False
+        self._preempted = False
         if profile:
             jax.profiler.start_trace(str(self.tensorboard_dir))
             profiling = True
@@ -255,7 +269,7 @@ class Trainer:
                     )
                     print(line + max(0, last_len - len(line)) * " ", end="\r")
                     last_len = len(line)
-                if self.iter_count >= self.num_iters:
+                if self.iter_count >= self.num_iters or self._preempted:
                     break
 
             self.epoch_idx += 1
@@ -264,6 +278,12 @@ class Trainer:
             if profiling:
                 jax.profiler.stop_trace()
                 profiling = False
+            if self._preempted:
+                print(
+                    f"\npreempted: checkpoint epoch {self.epoch_idx} saved, "
+                    "resume with --resume"
+                )
+                break
         if profiling:
             jax.profiler.stop_trace()
         print()

@@ -96,6 +96,7 @@ def main() -> None:
     if args.resume:
         trainer.load(output_path)
 
+    trainer.install_preemption_handler()
     trainer.train(output_path, profile=args.profile)
 
 

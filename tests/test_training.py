@@ -136,6 +136,30 @@ def test_trainer_nerf_end_to_end(dataset, tmp_path):
     assert np.asarray(trainer.state["pred_pixels_surf"]).sum() == 0.0
 
 
+def test_trainer_preemption_checkpoints_and_resumes(dataset, tmp_path):
+    """SIGTERM mid-training -> checkpoint written, clean return, resumable."""
+    import os
+    import signal
+    import threading
+
+    cfg = dict(TRAINER_CONFIG, num_iters=100000)
+    pipe = get_pipeline(NGP_CONFIG, dataset)
+    trainer = Trainer(cfg, dataset, pipe, "preempt_exp", data_root=tmp_path)
+    trainer.install_preemption_handler()
+    out = tmp_path / "preempt_out"
+    killer = threading.Timer(1.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    killer.start()
+    trainer.train(out)  # returns instead of running 100000 iters
+    killer.cancel()
+    assert 0 < trainer.iter_count < 100000
+    ckpts = [p for p in out.glob("epoch_*") if p.is_dir()]
+    assert ckpts, "preemption must leave a checkpoint"
+
+    trainer2 = Trainer(cfg, dataset, pipe, "preempt_exp", data_root=tmp_path)
+    trainer2.load(out)
+    assert trainer2.iter_count == trainer.iter_count
+
+
 def test_trainer_loss_decreases(dataset, tmp_path):
     cfg = dict(TRAINER_CONFIG, num_iters=60)
     pipe = get_pipeline(NGP_CONFIG, dataset)
