@@ -147,6 +147,160 @@ def gen_nerf_mlp(torch, nerf_models, encoders_mod):
     print("wrote nerf_mlp.npz")
 
 
+class _H5Var:
+    """netCDF4.Variable stand-in over an h5py dataset: slicing returns a
+    masked array when a _FillValue is declared (the HARP2 loader calls
+    ``.filled``), a plain ndarray otherwise (the DEM path calls
+    ``torch.from_numpy`` directly)."""
+
+    def __init__(self, dset):
+        self._d = dset
+
+    @property
+    def shape(self):
+        return self._d.shape
+
+    def __getitem__(self, key):
+        def _as_int(v):
+            return None if v is None else int(v)
+
+        if isinstance(key, slice):
+            key = slice(_as_int(key.start), _as_int(key.stop), _as_int(key.step))
+        elif isinstance(key, tuple):
+            key = tuple(
+                slice(_as_int(k.start), _as_int(k.stop), _as_int(k.step))
+                if isinstance(k, slice)
+                else k
+                for k in key
+            )
+        # read fully, index in numpy: real netCDF4 accepts unsorted fancy
+        # indices (the IRGB view reorder), h5py does not; files are tiny
+        arr = np.asarray(self._d[()], dtype=np.float64)[key]
+        fill = self._d.attrs.get("_FillValue")
+        if fill is None:
+            return arr
+        return np.ma.MaskedArray(arr, mask=(arr == np.float64(fill)))
+
+
+class _H5Dim:
+    def __init__(self, size):
+        self.size = size
+
+
+class _H5NetCDF:
+    """Minimal netCDF4.Dataset stand-in over an h5py file — exactly the API
+    surface the reference touches (item access by 'group/name', global
+    attributes as numpy scalars, ``dimensions`` sizes inferred from the 2-D
+    'height' variable for the DEM)."""
+
+    def __init__(self, path, *args, **kwargs):
+        import h5py
+
+        self._f = h5py.File(path, "r")
+
+    def __getitem__(self, name):
+        return _H5Var(self._f[name])
+
+    def __getattr__(self, name):
+        try:
+            v = self._f.attrs[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+        if isinstance(v, bytes):
+            return v.decode()
+        return np.asarray(v)  # .item() works on 0-d arrays
+
+    @property
+    def dimensions(self):
+        h = self._f["height"]
+        return {"lat": _H5Dim(h.shape[0]), "lon": _H5Dim(h.shape[1])}
+
+
+def _write_fake_dem(path):
+    """Deterministic 1-degree global-ish DEM in the reference's ETOPO1
+    layout (attrs upper_lat/left_lon/resolutions, height +
+    water_surface_height vars)."""
+    import h5py
+
+    lat = np.arange(90.0, -90.5, -1.0)
+    lon = np.arange(-180.0, 180.5, 1.0)
+    lat2, lon2 = np.meshgrid(lat, lon, indexing="ij")
+    height = 400.0 * (1 + np.sin(np.deg2rad(3 * lat2)) * np.cos(np.deg2rad(2 * lon2)))
+    wsh = np.zeros_like(height)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with h5py.File(path, "w") as f:
+        f.attrs["upper_lat"] = 90.0
+        f.attrs["left_lon"] = -180.0
+        f.attrs["geospatial_lat_resolution"] = 1.0
+        f.attrs["geospatial_lon_resolution"] = 1.0
+        f.create_dataset("height", data=height)
+        f.create_dataset("water_surface_height", data=wsh)
+
+
+def gen_dataset_and_voxelgrid(torch):
+    """Golden: the reference's FULL dataset machinery (netCDF parse, view
+    indexing, ray build incl. the iterative origin solve, filtering,
+    normalization) and the Vincenty voxel-grid construction with DEM
+    heights, run CPU-only on the same synthetic granule our tests use."""
+    import os
+    import tempfile
+
+    sys.path.insert(0, str(REPO))
+    from atmonr_tpu.data.synthetic import make_synthetic_granule, write_granule_l1b
+
+    sys.modules["netCDF4"].Dataset = _H5NetCDF
+    torch.Tensor.cuda = lambda self, *a, **k: self  # CPU-only run
+
+    granule = make_synthetic_granule(height=12, width=8, views_per_band=2)
+    cfg = {
+        "max_abs_view_angle": 45.0,
+        "ray_origin_height": 20000,
+        "bands_to_keep": [0, 1, 2, 3],
+        "rgb_mode": "nadir",
+    }
+    cwd = os.getcwd()
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            os.chdir(td)
+            name = "PACE_HARP2.GOLDEN.L1B.nc"
+            write_granule_l1b(granule, Path("data/HARP2") / name)
+            _write_fake_dem("data/ETOPO1_ocssw.nc")
+
+            from atmonr.datasets.harp2 import HARP2Dataset as RefDS
+            from atmonr.datasets.harp2_extract import (
+                HARP2VoxelGridExtractDataset as RefVoxelGrid,
+            )
+
+            ds = RefDS(dict(cfg), name)
+            vg = RefVoxelGrid(
+                ds, horizontal_step=5000.0, alt_step=2000.0, max_alt=10000.0
+            )
+    finally:
+        os.chdir(cwd)
+
+    np.savez(
+        GOLDEN / "harp2_dataset.npz",
+        view_idx=ds.view_idx,
+        irgb_idx=ds.irgb_idx,
+        max_i=np.float64(ds.max_i),
+        ray_filter=ds.ray_filter.cpu().numpy(),
+        ray_origin_norm=ds.ray_origin_norm.cpu().numpy(),
+        ray_dir=ds.ray_dir.cpu().numpy(),
+        ray_len_norm=ds.ray_len_norm.cpu().numpy(),
+        ray_rad=ds.ray_rad.cpu().numpy(),
+        ray_alt=ds.ray_alt.cpu().numpy(),
+        ray_irgb_idx=ds.ray_irgb_idx.cpu().numpy(),
+        scale=np.float64(ds.scale.item() if hasattr(ds.scale, "item") else ds.scale),
+        offset=np.asarray(ds.offset.cpu().numpy() if hasattr(ds.offset, "cpu") else ds.offset),
+        vg_xyz=vg.xyz.cpu().numpy(),
+        vg_shp=np.asarray(vg.shp),
+        vg_sample_alt=vg.sample_alt.cpu().numpy(),
+        vg_height=vg.height.cpu().numpy(),
+    )
+    print(f"dataset+voxelgrid golden: {ds.ray_origin_norm.shape[0]} rays, "
+          f"voxelgrid {tuple(vg.shp)}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reference", default="/root/reference")
@@ -186,6 +340,7 @@ def main():
     gen_render(torch, graphics_utils, samplers, losses, encoders)
     gen_nerf_mlp(torch, nerf_models, encoders)
     gen_nerf_pipeline(torch)
+    gen_dataset_and_voxelgrid(torch)
 
 
 def gen_nerf_pipeline(torch):
