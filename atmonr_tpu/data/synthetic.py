@@ -149,6 +149,39 @@ def write_granule_l1b(granule: GranuleArrays, path: str | Path) -> None:
         _w(svb, "intensity_wavelength", granule.wavelengths)
 
 
+def write_granule_l1c(
+    path: str | Path,
+    height: int = 10,
+    width: int = 6,
+    lat0: float = 20.0,
+    lon0: float = -40.0,
+    pixel_deg: float = 0.04,
+) -> None:
+    """Write a minimal HARP2 L1C-layout netCDF-4 file: the 2-D
+    ``geolocation_data/{latitude,longitude,height}`` grid the L1C extract
+    mode reads (reference harp2_extract.py:151-169)."""
+    import h5py
+
+    lat_1d = lat0 + np.arange(height) * pixel_deg
+    lon_1d = lon0 + np.arange(width) * pixel_deg
+    lat2, lon2 = np.meshgrid(lat_1d, lon_1d, indexing="ij")
+    hgt = 50.0 * (1 + np.sin(lat2) * np.cos(lon2))
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    fill = -32767.0
+    with h5py.File(path, "w") as f:
+        f.attrs["processing_level"] = "L1C"
+        geo = f.create_group("geolocation_data")
+        for name, arr in [
+            ("latitude", lat2),
+            ("longitude", lon2),
+            ("height", hgt),
+        ]:
+            ds = geo.create_dataset(name, data=np.asarray(arr, np.float64))
+            ds.attrs["_FillValue"] = fill
+
+
 def write_synthetic_earthcare(
     path: str | Path,
     n_along: int = 40,

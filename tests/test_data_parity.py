@@ -103,3 +103,59 @@ def test_voxelgrid_matches_reference(golden, dataset, tmp_path):
     np.testing.assert_allclose(
         vg.xyz, golden["vg_xyz"], rtol=0, atol=1.0
     )
+
+
+def test_l1c_extract_matches_reference(golden, dataset, tmp_path):
+    """Our L1C grid vs the reference's, both reading the same synthetic
+    L1C-layout file (reference harp2_extract.py:115-186)."""
+    from atmonr_tpu.data.synthetic import write_granule_l1c
+    from atmonr_tpu.extract.datasets import HARP2L1CExtractDataset
+
+    # the reference derived this name from the golden L1B's 5-token name
+    l1c_path = (
+        tmp_path / "HARP2_L1C" / "PACE_HARP2.20240101T000000.L1C.V2.5km.nc"
+    )
+    write_granule_l1c(l1c_path)
+    # the loader derives the L1C name from the L1B product name; present the
+    # dataset under the golden run's 5-token name
+    import types
+
+    ds_like = types.SimpleNamespace(
+        granule=types.SimpleNamespace(
+            product_name="PACE_HARP2.20240101T000000.L1B.V2.nc"
+        ),
+        config=dataset.config,
+        img_shp=dataset.img_shp,
+        lat=dataset.lat,
+        lon=dataset.lon,
+        alt=dataset.alt,
+        view_idx=dataset.view_idx,
+    )
+    l1c = HARP2L1CExtractDataset(
+        ds_like, alt_step=2000.0, max_alt=10000.0, data_root=tmp_path
+    )
+    np.testing.assert_array_equal(
+        np.asarray(l1c.shp[:2]), golden["l1c_shp"]
+    )
+    np.testing.assert_allclose(
+        l1c.height, golden["l1c_height"], rtol=0, atol=1e-9
+    )
+    np.testing.assert_allclose(l1c.xyz, golden["l1c_xyz"], rtol=0, atol=1e-3)
+
+
+def test_earthcare_extract_matches_reference(golden, dataset, tmp_path):
+    """Our EarthCARE track sampling vs the reference's, both reading the
+    same synthetic ATL_EBD_2A file (reference harp2_extract.py:599-675)."""
+    from atmonr_tpu.data.synthetic import write_synthetic_earthcare
+    from atmonr_tpu.extract.datasets import HARP2EarthCAREExtractDataset
+
+    track = tmp_path / "EarthCARE" / "synthetic_ebd.h5"
+    write_synthetic_earthcare(track)
+    ec = HARP2EarthCAREExtractDataset(
+        dataset,
+        earthcare_filename="synthetic_ebd.h5",
+        earthcare_range=[5, 30],
+        data_root=tmp_path,
+    )
+    np.testing.assert_array_equal(np.asarray(ec.shp), golden["ec_shp"])
+    np.testing.assert_allclose(ec.xyz, golden["ec_xyz"], rtol=0, atol=1e-3)

@@ -246,7 +246,12 @@ def gen_dataset_and_voxelgrid(torch):
     import tempfile
 
     sys.path.insert(0, str(REPO))
-    from atmonr_tpu.data.synthetic import make_synthetic_granule, write_granule_l1b
+    from atmonr_tpu.data.synthetic import (
+        make_synthetic_granule,
+        write_granule_l1b,
+        write_granule_l1c,
+        write_synthetic_earthcare,
+    )
 
     sys.modules["netCDF4"].Dataset = _H5NetCDF
     torch.Tensor.cuda = lambda self, *a, **k: self  # CPU-only run
@@ -262,18 +267,29 @@ def gen_dataset_and_voxelgrid(torch):
     try:
         with tempfile.TemporaryDirectory() as td:
             os.chdir(td)
-            name = "PACE_HARP2.GOLDEN.L1B.nc"
+            # 5-token name: the L1C extract derives its filename from it
+            name = "PACE_HARP2.20240101T000000.L1B.V2.nc"
             write_granule_l1b(granule, Path("data/HARP2") / name)
             _write_fake_dem("data/ETOPO1_ocssw.nc")
+            write_granule_l1c(
+                "data/HARP2_L1C/PACE_HARP2.20240101T000000.L1C.V2.5km.nc"
+            )
+            write_synthetic_earthcare("data/EarthCARE/synthetic_ebd.h5")
 
             from atmonr.datasets.harp2 import HARP2Dataset as RefDS
             from atmonr.datasets.harp2_extract import (
+                HARP2EarthCAREExtractDataset as RefEarthCARE,
+                HARP2L1CExtractDataset as RefL1C,
                 HARP2VoxelGridExtractDataset as RefVoxelGrid,
             )
 
             ds = RefDS(dict(cfg), name)
             vg = RefVoxelGrid(
                 ds, horizontal_step=5000.0, alt_step=2000.0, max_alt=10000.0
+            )
+            l1c = RefL1C(ds, alt_step=2000.0, max_alt=10000.0)
+            ec = RefEarthCARE(
+                ds, "synthetic_ebd.h5", earthcare_range=[5, 30]
             )
     finally:
         os.chdir(cwd)
@@ -296,9 +312,15 @@ def gen_dataset_and_voxelgrid(torch):
         vg_shp=np.asarray(vg.shp),
         vg_sample_alt=vg.sample_alt.cpu().numpy(),
         vg_height=vg.height.cpu().numpy(),
+        l1c_xyz=l1c.xyz.cpu().numpy(),
+        l1c_shp=np.asarray(l1c.shp),
+        l1c_height=l1c.height.cpu().numpy(),
+        ec_xyz=ec.xyz.cpu().numpy(),
+        ec_shp=np.asarray(ec.shp),
     )
-    print(f"dataset+voxelgrid golden: {ds.ray_origin_norm.shape[0]} rays, "
-          f"voxelgrid {tuple(vg.shp)}")
+    print(f"dataset+extract goldens: {ds.ray_origin_norm.shape[0]} rays, "
+          f"voxelgrid {tuple(vg.shp)}, l1c {tuple(l1c.shp)}, "
+          f"earthcare {tuple(ec.shp)}")
 
 
 def main():
