@@ -1,10 +1,17 @@
 """Make an orbit video of the extracted extinction volume.
 
 CLI-compatible with the reference ``scripts/make_video.py``: reads an extract
-netCDF, writes a km-scale OpenVDB grid, renders orbit frames with the
-``vdb_render`` C++ binary, and stitches them with ffmpeg. OpenVDB and
-vdb_render remain optional host-side dependencies (I/O + offline rendering,
-never TPU work).
+netCDF and renders an orbit video. Two renderers:
+
+- ``--renderer vdb``: the reference's path — write a km-scale OpenVDB grid
+  and shell out to the ``vdb_render`` C++ binary per frame (optional
+  host-side dependencies).
+- ``--renderer internal``: the framework's own jitted JAX volume renderer
+  (``atmonr_tpu.extract.orbit_render``) — zero native rendering deps, runs
+  on CPU or TPU. Default ``auto`` picks vdb when available, else internal.
+
+Frames are stitched with ffmpeg when present; otherwise the frames are kept
+on disk and a warning is printed.
 """
 
 import argparse
@@ -37,6 +44,13 @@ def parse_args() -> argparse.Namespace:
         "--light-source-color", nargs=3, type=float, default=(1.0, 1.0, 1.0)
     )
     parser.add_argument("--scatter", nargs=3, type=float, default=(0.7, 0.7, 0.7))
+    parser.add_argument(
+        "--renderer",
+        choices=("auto", "vdb", "internal"),
+        default="auto",
+        help="'vdb' = OpenVDB + vdb_render (reference path); 'internal' = "
+        "the framework's own JAX volume renderer (no native deps).",
+    )
     args = parser.parse_args()
     assert Path(args.extract_filepath).exists()
     args.res = [int(pix) for pix in args.res.split("x")]
@@ -55,7 +69,15 @@ def read_extract_sigma(path: str, band_idx: int):
     import h5py
 
     with h5py.File(path, "r") as f:
-        sigma = np.asarray(f["extinction_coefficient"][:, :, ::-1, band_idx])
+        # read fully, flip in numpy (h5py rejects negative-step slicing)
+        full = np.asarray(f["extinction_coefficient"][()])
+        if band_idx >= full.shape[-1]:
+            warnings.warn(
+                f"band {band_idx} not in extract ({full.shape[-1]} band(s), "
+                "single-band extinction); rendering band 0."
+            )
+            band_idx = 0
+        sigma = np.ascontiguousarray(full[:, :, ::-1, band_idx])
         fill = f["extinction_coefficient"].attrs.get("_FillValue")
         if fill is not None:
             sigma[sigma == np.asarray(fill).ravel()[0]] = np.nan
@@ -64,22 +86,13 @@ def read_extract_sigma(path: str, band_idx: int):
     return sigma, scene_scale
 
 
-def main() -> None:
-    args = parse_args()
+def _render_frames_vdb(args, sigma, scene_scale) -> None:
+    """The reference's renderer: OpenVDB grid + vdb_render per frame."""
     try:
         import pyopenvdb as vdb  # type: ignore
     except ImportError:
-        try:
-            import openvdb as vdb  # type: ignore
-        except ImportError:
-            raise ImportError(
-                "You must have openvdb Python bindings installed to use "
-                "make_video.py"
-            )
+        import openvdb as vdb  # type: ignore
 
-    sigma, scene_scale = read_extract_sigma(
-        args.extract_filepath, args.render_band_idx
-    )
     grid = vdb.FloatGrid()
     # km scale works well with vdb_render
     grid.copyFromArray(sigma * scene_scale / 1000)
@@ -96,9 +109,6 @@ def main() -> None:
     view_height = 0.5 * np.linalg.norm(sigma.shape)
     lookat = f"{center[0]},0,{center[2]}"
 
-    if Path("_temp_frames").exists():
-        shutil.rmtree("_temp_frames")
-    os.makedirs("_temp_frames", exist_ok=True)
     res = "x".join(str(pix) for pix in args.res)
     absorb = ",".join(str(el) for el in args.absorb)
     light = ",".join(
@@ -119,10 +129,60 @@ def main() -> None:
             stdout=subprocess.DEVNULL,
             stderr=subprocess.STDOUT,
         )
+
+
+def _render_frames_internal(args, sigma, scene_scale) -> None:
+    """The framework's own jitted volume renderer (no native deps)."""
+    from atmonr_tpu.extract.orbit_render import render_orbit, write_ppm
+
+    num_frames = int(args.duration * args.frame_rate)
+    frames = render_orbit(
+        sigma * scene_scale / 1000,
+        num_frames,
+        width=args.res[0],
+        height=args.res[1],
+    )
+    for idx, frame in enumerate(frames):
+        write_ppm(f"_temp_frames/{idx:06d}.ppm", frame)
+
+
+def main() -> None:
+    args = parse_args()
+    renderer = args.renderer
+    if renderer == "auto":
+        try:
+            import pyopenvdb  # type: ignore # noqa: F401
+
+            renderer = "vdb"
+        except ImportError:
+            try:
+                import openvdb  # type: ignore # noqa: F401
+
+                renderer = "vdb"
+            except ImportError:
+                renderer = "internal"
+
+    sigma, scene_scale = read_extract_sigma(
+        args.extract_filepath, args.render_band_idx
+    )
+    if Path("_temp_frames").exists():
+        shutil.rmtree("_temp_frames")
+    os.makedirs("_temp_frames", exist_ok=True)
+    if renderer == "vdb":
+        _render_frames_vdb(args, sigma, scene_scale)
+    else:
+        _render_frames_internal(args, sigma, scene_scale)
+
+    res = "x".join(str(pix) for pix in args.res)
     ffmpeg_cmd = (
         f"ffmpeg -framerate {args.frame_rate} -i _temp_frames/%06d.ppm "
         f"-c:v libx264 -pix_fmt yuv420p -s {res} -y {args.video_filepath}"
     )
+    if shutil.which("ffmpeg") is None:
+        warnings.warn(
+            "ffmpeg not found; leaving rendered frames in _temp_frames/."
+        )
+        return
     subprocess.run(
         ffmpeg_cmd.split(" "),
         stdout=subprocess.DEVNULL,
