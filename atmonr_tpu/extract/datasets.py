@@ -365,6 +365,13 @@ class HARP2GlobalGridExtractDataset(HARP2ExtractDataset):
     (reference harp2_extract.py:794-946): rays -> sphere coords, vertical
     stretch, chunked voxel traversal, per-layer longitude crop, unstretch +
     cull.
+
+    No reference golden exists for this mode because the reference's cull
+    line (harp2_extract.py:891, ``alt <= 0 + alt > ray_origin_height``)
+    parses as a chained tensor comparison and raises at runtime — a latent
+    reference bug; the intended ``(alt <= 0) | (alt > height)`` is
+    implemented here and covered by geometry unit tests instead
+    (tests/test_extract.py).
     """
 
     def __init__(
