@@ -33,6 +33,16 @@ def voxel_traversal(
     u = np.asarray(u, np.float64)
     end = np.asarray(end, np.float64)
 
+    if u.shape[1] == 3:
+        from atmonr_tpu import native
+
+        nat = native.voxel_traversal(u, end)
+        if nat is not None:
+            out, _ = nat
+            # the numpy path unique-ing of start voxels is subsumed by the
+            # caller-level unique; match its unique_only contract
+            return np.unique(out, axis=0) if unique_only else out
+
     dists = np.linalg.norm(end - u, axis=-1)[:, None]
     v = (end - u) / dists
 

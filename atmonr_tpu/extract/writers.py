@@ -199,8 +199,11 @@ def global_grid_dump(output_filepath: Path, extract_dataset, sigma) -> None:
         except ImportError:
             vdb = None
     if vdb is None:
-        voxel_filepath = Path("voxels.npy")
-        sigma_filepath = Path("sigma.npy")
+        # next to the requested output (the reference drops them in the CWD,
+        # harp2_extract.py:919-921 — strictly less useful)
+        out_dir = Path(output_filepath).parent
+        voxel_filepath = out_dir / "voxels.npy"
+        sigma_filepath = out_dir / "sigma.npy"
         warnings.warn(
             "Unable to import OpenVDB Python bindings, exporting to "
             f"{voxel_filepath} and {sigma_filepath} instead."

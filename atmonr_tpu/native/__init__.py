@@ -49,6 +49,11 @@ def _load() -> ctypes.CDLL | None:
     ]
     lib.atmonr_h2c.argtypes = [f64p, f64p, f64p, ctypes.c_int64, f64p, f64p, f64p]
     lib.atmonr_c2h.argtypes = [f64p, f64p, f64p, ctypes.c_int64, f64p, f64p, f64p]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.atmonr_voxel_traversal.argtypes = [
+        f64p, f64p, ctypes.c_int64, i64p, i32p, i32p,
+    ]
     lib.atmonr_num_threads.restype = ctypes.c_int
     _lib = lib
     return _lib
@@ -119,6 +124,40 @@ def cartesian_to_horizontal(x, y, z):
     alt = np.empty(n)
     lib.atmonr_c2h(_f64p(xf), _f64p(yf), _f64p(zf), n, _f64p(lat), _f64p(lon), _f64p(alt))
     return lat.reshape(shape), lon.reshape(shape), alt.reshape(shape)
+
+
+def voxel_traversal(u: np.ndarray, end: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
+    """Multithreaded Amanatides-Woo traversal: all voxels crossed by the
+    segments u -> end (continuous voxel coordinates). Two C calls: a
+    count-only pass (out_vox = NULL), then a write pass at the exact
+    prefix-sum offsets — the walk is cheap enough (~100 ms for 50k long
+    segments) that running it twice beats any Python-side compaction.
+    Returns (voxels (total, 3) int32 laid out per-ray, counts (N,) int32),
+    or None when the library is unavailable (callers fall back to the
+    numpy implementation)."""
+    lib = _load()
+    if lib is None:
+        return None
+    u = np.ascontiguousarray(u, np.float64)
+    end = np.ascontiguousarray(end, np.float64)
+    n = u.shape[0]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    counts = np.zeros(n, np.int32)
+    lib.atmonr_voxel_traversal(
+        _f64p(u), _f64p(end), n, None, None,
+        counts.ctypes.data_as(i32p),
+    )
+    offsets = np.zeros(n, np.int64)
+    np.cumsum(counts[:-1], dtype=np.int64, out=offsets[1:])
+    out_vox = np.empty((int(counts.sum(dtype=np.int64)), 3), np.int32)
+    lib.atmonr_voxel_traversal(
+        _f64p(u), _f64p(end), n,
+        offsets.ctypes.data_as(i64p),
+        out_vox.ctypes.data_as(i32p),
+        counts.ctypes.data_as(i32p),
+    )
+    return out_vox, counts
 
 
 def horizontal_to_cartesian(lat, lon, alt):

@@ -15,6 +15,7 @@
 
 #include <cmath>
 #include <cstdint>
+#include <limits>
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -149,6 +150,86 @@ void atmonr_c2h(const double* x, const double* y, const double* z, int64_t n,
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n; ++i) {
     cartesian_to_horizontal(x[i], y[i], z[i], &lat[i], &lon[i], &alt[i]);
+  }
+}
+
+// Batched Amanatides-Woo voxel traversal (Amanatides & Woo 1987), matching
+// extract/voxel_traversal.py step-for-step (start voxel emitted first; an
+// axis freezes once it reaches its destination coordinate; a ray finishes
+// when every axis has arrived or any axis overshot). Rays are independent —
+// one OpenMP task each. Two-pass protocol: call with out_vox = NULL to get
+// per-ray counts only (offsets ignored), then with offsets = exclusive
+// prefix sum of the counts to write the compact voxel list.
+void atmonr_voxel_traversal(const double* u, const double* end, int64_t n,
+                            const int64_t* offsets, int32_t* out_vox,
+                            int32_t* out_counts) {
+  const double kInf = std::numeric_limits<double>::infinity();
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const double* ui = u + 3 * i;
+    const double* ei = end + 3 * i;
+    int32_t vox[3], vend[3], sgn[3];
+    double tmax[3], tdelta[3];
+    double d2 = 0.0;
+    for (int d = 0; d < 3; ++d) {
+      const double dd = ei[d] - ui[d];
+      d2 += dd * dd;
+    }
+    const double dist = std::sqrt(d2);
+    for (int d = 0; d < 3; ++d) {
+      vox[d] = static_cast<int32_t>(std::floor(ui[d]));
+      vend[d] = static_cast<int32_t>(std::floor(ei[d]));
+      const double v = dist > 0.0 ? (ei[d] - ui[d]) / dist : 0.0;
+      sgn[d] = (v > 0.0) - (v < 0.0);
+      if (sgn[d] == 0 || vox[d] == vend[d]) {
+        tmax[d] = kInf;
+        tdelta[d] = kInf;
+      } else {
+        const double svu = sgn[d] * ui[d];
+        tmax[d] = std::fabs((std::ceil(svu) - svu) / v);
+        tdelta[d] = std::fabs(1.0 / v);
+      }
+    }
+    int32_t* out = out_vox ? out_vox + 3 * offsets[i] : nullptr;
+    int64_t count = 0;
+    if (out) {
+      out[0] = vox[0];
+      out[1] = vox[1];
+      out[2] = vox[2];
+    }
+    ++count;
+    bool all_arrived = true, overshot = false;
+    for (int d = 0; d < 3; ++d) {
+      const int64_t diff =
+          static_cast<int64_t>(vox[d] - vend[d]) * sgn[d];
+      all_arrived &= diff == 0;
+      overshot |= diff > 0;
+    }
+    bool done = all_arrived || overshot;
+    while (!done) {
+      int axis = 0;
+      if (tmax[1] < tmax[axis]) axis = 1;
+      if (tmax[2] < tmax[axis]) axis = 2;
+      tmax[axis] += tdelta[axis];
+      vox[axis] += sgn[axis];
+      if (out) {
+        out[3 * count + 0] = vox[0];
+        out[3 * count + 1] = vox[1];
+        out[3 * count + 2] = vox[2];
+      }
+      ++count;
+      bool all_nonneg = true;
+      overshot = false;
+      for (int d = 0; d < 3; ++d) {
+        const int64_t diff =
+            static_cast<int64_t>(vox[d] - vend[d]) * sgn[d];
+        if (diff >= 0) tmax[d] = kInf;  // axis arrived: freeze it
+        all_nonneg &= diff >= 0;
+        overshot |= diff > 0;
+      }
+      done = all_nonneg || overshot;
+    }
+    out_counts[i] = static_cast<int32_t>(count);
   }
 }
 
