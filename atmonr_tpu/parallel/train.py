@@ -143,6 +143,58 @@ def ngp_forward_sample_sharded(
     }
 
 
+def forward_loss_data_sharded(
+    pipe,
+    params: dict,
+    batch: Mapping[str, jax.Array],
+    mesh: Mesh,
+    key: jax.Array | None = None,
+    aux: dict | None = None,
+):
+    """Forward + loss with the ray batch sharded over the mesh "data" axis.
+
+    Wraps the pipeline's own single-device ``forward`` in a ``shard_map``
+    over "data": each chip runs the unmodified pipeline code — including the
+    Pallas hash kernels, which must see shard-local shapes (a ``pallas_call``
+    is an opaque custom call with no GSPMD partitioning rule, so leaving it
+    in the automatic-sharding region would make XLA all-gather its operands
+    and replicate the hot kernel on every chip instead of scaling it). Only
+    the scalar loss crosses shards (``pmean``); the gradient all-reduce of
+    the replicated parameters is inserted by shard_map's transpose.
+
+    Works for any pipeline (hierarchical NeRF and Instant-NGP alike, with or
+    without occupancy aux state). With a ``key``, each shard folds in its
+    axis index so stratified-sampling jitter is independent across shards —
+    the same distribution as the single-device step, not bitwise identical.
+    Deterministic forwards (``key=None``) match the unsharded step exactly.
+
+    Returns ``(loss, results)`` with every results array sharded P("data").
+    """
+    def local(params, batch, aux, *maybe_key):
+        k = None
+        if maybe_key:
+            k = jax.random.fold_in(
+                maybe_key[0], jax.lax.axis_index("data")
+            )
+        results = pipe.forward(params, batch, k, aux=aux or None)
+        # equal shard sizes => pmean of per-shard means is the global mean
+        loss = jax.lax.pmean(pipe.compute_loss(batch, results), "data")
+        return loss, results
+
+    args = [params, dict(batch), aux or {}]
+    in_specs = [P(), P("data"), P()]
+    if key is not None:
+        args.append(key)
+        in_specs.append(P())
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(), P("data")),
+        check_vma=False,
+    )(*args)
+
+
 def make_ngp_sharded_train_step(pipe, optimizer, mesh: Mesh, batch_size: int):
     """Jitted multi-chip train step: gather -> sharded forward -> loss ->
     grads (ICI all-reduce) -> optax update. ``train_state`` may carry an

@@ -139,12 +139,37 @@ class Trainer:
 
     def shard(self, mesh) -> None:
         """Switch to multi-chip training: shard the HBM-resident ray store
-        over the mesh "data" axis and replicate parameters/optimizer state
-        (their gradient all-reduce over ICI is inserted by GSPMD when the
-        jitted step differentiates the data-sharded loss)."""
+        over the mesh "data" axis and replicate parameters/optimizer state.
+
+        The jitted step then routes the forward through ``shard_map`` — the
+        Pallas hash kernels are opaque custom calls with no GSPMD
+        partitioning rule, so they must see shard-local shapes to scale
+        (``parallel.train.forward_loss_data_sharded``); with a "sample" axis
+        > 1 the Instant-NGP sample-sharded march + exact blockwise
+        compositor is used instead (``ngp_forward_sample_sharded``). The
+        parameter-gradient all-reduce rides ICI either way."""
         from atmonr_tpu.parallel.sharding import replicate, shard_rays
 
+        ns = dict(mesh.shape).get("sample", 1)
+        if ns > 1:
+            if "num_samples_per_ray" not in self.pipeline.config:
+                raise ValueError(
+                    "a 'sample' mesh axis > 1 requires the Instant-NGP "
+                    "pipeline (hierarchical NeRF resamples adaptively; "
+                    "shard its rays over 'data' instead)"
+                )
+            if getattr(self.pipeline, "occ_cfg", None) is not None:
+                n_samples = self.pipeline.occ_cfg.n_fine
+            else:
+                n_samples = int(self.pipeline.config["num_samples_per_ray"])
+            if n_samples % ns != 0:
+                raise ValueError(
+                    f"samples per ray ({n_samples}) must divide the mesh "
+                    f"'sample' axis ({ns})"
+                )
         self.mesh = mesh
+        # re-jit: the step body branches on the installed mesh
+        self._train_step = jax.jit(self._step, donate_argnums=(0,))
         if jax.process_count() > 1:
             # multi-host: every process contributes only the rows its
             # addressable devices own (parallel.data); HBM scales 1/hosts
@@ -162,8 +187,12 @@ class Trainer:
         else:
             self.rays = shard_rays(self.rays, mesh)
         self.num_rays = int(self.rays["origin"].shape[0])
-        # trimming to a mesh multiple can drop below a dataset-clamped batch
+        # trimming to a mesh multiple can drop below a dataset-clamped batch;
+        # shard_map needs equal per-chip batch shards
+        n_data = dict(mesh.shape).get("data", 1)
         self.batch_size = min(self.batch_size, self.num_rays)
+        self.batch_size -= self.batch_size % n_data
+        assert self.batch_size > 0, (self.num_rays, n_data)
         self.steps_per_epoch = max(1, self.num_rays // self.batch_size)
         self.num_epochs = -(-self.num_iters // self.steps_per_epoch)
         self.state = replicate(self.state, mesh)
@@ -175,8 +204,30 @@ class Trainer:
             rays, perm, step_in_epoch, self.batch_size
         )
         key = jax.random.fold_in(self.base_key, global_step)
+        mesh = self.mesh
+        multi = mesh is not None and mesh.devices.size > 1
+        sample_sharded = multi and dict(mesh.shape).get("sample", 1) > 1
 
         def loss_fn(params):
+            if sample_sharded:
+                from atmonr_tpu.parallel.train import (
+                    ngp_forward_sample_sharded,
+                )
+
+                results = ngp_forward_sample_sharded(
+                    self.pipeline, params, batch, mesh, key,
+                    aux=state["aux"] or None,
+                )
+                return self.pipeline.compute_loss(batch, results), results
+            if multi:
+                from atmonr_tpu.parallel.train import (
+                    forward_loss_data_sharded,
+                )
+
+                return forward_loss_data_sharded(
+                    self.pipeline, params, batch, mesh, key,
+                    aux=state["aux"] or None,
+                )
             results = self.pipeline.forward(
                 params, batch, key, aux=state["aux"] or None
             )

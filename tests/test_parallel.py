@@ -231,3 +231,128 @@ def test_trainer_shard_runs(dataset, tmp_path):
     trainer.shard(make_mesh(data=4, sample=2))
     trainer.train(tmp_path / "out")
     assert trainer.iter_count == 4
+
+
+@pytest.mark.parametrize("config_name", ["ngp", "nerf"])
+def test_data_sharded_forward_loss_matches_unsharded(dataset, config_name):
+    """The generic data-only shard_map path (the Trainer's multi-chip route
+    for data-parallel meshes) is exact vs the single-device pipeline forward
+    for BOTH pipelines when deterministic (key=None)."""
+    from tests.test_pipelines import NERF_CONFIG
+    from atmonr_tpu.parallel.train import forward_loss_data_sharded
+
+    cfg = NGP_CONFIG if config_name == "ngp" else NERF_CONFIG
+    mesh = make_mesh(data=8, sample=1)
+    pipe = get_pipeline(cfg, dataset)
+    pipe.compute_dtype = None  # f32 for exact comparison
+    params = pipe.init_params(jax.random.PRNGKey(1))
+
+    rays = dataset.rays()
+    perm = epoch_permutation(jax.random.PRNGKey(0), dataset.num_rays, 64)
+    batch = batch_at_step(rays, perm, jnp.asarray(0), 64)
+
+    ref = pipe.forward(params, batch, key=None)
+    ref_loss = pipe.compute_loss(batch, ref)
+
+    batch_sharded = {
+        k: jax.device_put(
+            v, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+        )
+        for k, v in batch.items()
+    }
+    loss, out = forward_loss_data_sharded(
+        pipe, replicate(params, mesh), batch_sharded, mesh, key=None
+    )
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for name, val in ref.items():
+        np.testing.assert_allclose(
+            np.asarray(out[name]), np.asarray(val), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_data_sharded_grads_match_unsharded(dataset):
+    """shard_map's transpose all-reduces the replicated-parameter gradient:
+    data-sharded grads == single-device grads on the same batch."""
+    from atmonr_tpu.parallel.train import forward_loss_data_sharded
+
+    mesh = make_mesh(data=8, sample=1)
+    pipe = get_pipeline(NGP_CONFIG, dataset)
+    pipe.compute_dtype = None
+    params = pipe.init_params(jax.random.PRNGKey(1))
+
+    rays = dataset.rays()
+    perm = epoch_permutation(jax.random.PRNGKey(0), dataset.num_rays, 64)
+    batch = batch_at_step(rays, perm, jnp.asarray(0), 64)
+
+    def ref_loss(p):
+        return pipe.compute_loss(batch, pipe.forward(p, batch, key=None))
+
+    # jit the reference too: eager-vs-jit fusion/FMA differences on the
+    # near-cancelling hash-path grads are ~100x larger than the sharding
+    # reorder we are testing for
+    ref_grads = jax.jit(jax.grad(ref_loss))(params)
+
+    batch_sharded = {
+        k: jax.device_put(
+            v, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+        )
+        for k, v in batch.items()
+    }
+    params_rep = replicate(params, mesh)
+
+    def sharded_loss(p):
+        loss, _ = forward_loss_data_sharded(pipe, p, batch_sharded, mesh, key=None)
+        return loss
+
+    grads = jax.jit(jax.grad(sharded_loss))(params_rep)
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_grads)
+    flat = dict(jax.tree_util.tree_leaves_with_path(grads))
+    for path, g_ref in flat_ref:
+        # f32 accumulation order differs (per-shard partial sums + psum vs
+        # one global sum), and grads accumulate many near-cancelling point
+        # contributions, so elementwise comparison of tiny entries is noise-
+        # dominated. A norm-relative bound is the right reorder check.
+        g = np.asarray(flat[path], dtype=np.float64)
+        r = np.asarray(g_ref, dtype=np.float64)
+        denom = np.linalg.norm(r) or 1.0
+        rel = np.linalg.norm(g - r) / denom
+        assert rel < 1e-3, (path, rel)
+
+
+def test_trainer_shard_data_only_runs(dataset, tmp_path):
+    from atmonr_tpu.training import Trainer
+    from tests.test_training import TRAINER_CONFIG
+
+    cfg = dict(TRAINER_CONFIG, num_iters=4, batch_size=64)
+    pipe = get_pipeline(NGP_CONFIG, dataset)
+    trainer = Trainer(cfg, dataset, pipe, "shard_dp_exp", data_root=tmp_path)
+    trainer.shard(make_mesh(data=8, sample=1))
+    trainer.train(tmp_path / "out")
+    assert trainer.iter_count == 4
+
+
+def test_trainer_shard_nerf_data_only_runs(dataset, tmp_path):
+    """NeRF multi-chip training (data axis) through the same Trainer route —
+    the reference cannot train NeRF beyond one GPU at all."""
+    from tests.test_pipelines import NERF_CONFIG
+    from atmonr_tpu.training import Trainer
+    from tests.test_training import TRAINER_CONFIG
+
+    cfg = dict(TRAINER_CONFIG, num_iters=2, batch_size=64)
+    pipe = get_pipeline(NERF_CONFIG, dataset)
+    trainer = Trainer(cfg, dataset, pipe, "shard_nerf_exp", data_root=tmp_path)
+    trainer.shard(make_mesh(data=8, sample=1))
+    trainer.train(tmp_path / "out")
+    assert trainer.iter_count == 2
+
+
+def test_trainer_shard_rejects_nerf_sample_axis(dataset, tmp_path):
+    from tests.test_pipelines import NERF_CONFIG
+    from atmonr_tpu.training import Trainer
+    from tests.test_training import TRAINER_CONFIG
+
+    cfg = dict(TRAINER_CONFIG, num_iters=2, batch_size=64)
+    pipe = get_pipeline(NERF_CONFIG, dataset)
+    trainer = Trainer(cfg, dataset, pipe, "shard_bad_exp", data_root=tmp_path)
+    with pytest.raises(ValueError, match="sample"):
+        trainer.shard(make_mesh(data=4, sample=2))
