@@ -43,18 +43,20 @@ def host_ray_slice(n_total: int, mesh: Mesh, axis: str = "data") -> slice:
     n = trimmed_ray_count(n_total, mesh, axis)
     sharding = NamedSharding(mesh, P(axis))
     index_map = sharding.devices_indices_map((n,))
-    starts, stops = [], []
+    # dedupe: devices along the OTHER mesh axes hold replicas of the same
+    # row range (e.g. the "sample" axis), so identical slices appear once
+    spans = set()
     for dev, idx in index_map.items():
         if dev.process_index != jax.process_index():
             continue
         s = idx[0]
-        starts.append(0 if s.start is None else s.start)
-        stops.append(n if s.stop is None else s.stop)
-    if not starts:  # this process owns no devices on the mesh
+        spans.add((0 if s.start is None else s.start, n if s.stop is None else s.stop))
+    if not spans:  # this process owns no devices on the mesh
         return slice(0, 0)
-    lo, hi = min(starts), max(stops)
-    # sanity: the process's rows must tile [lo, hi) exactly
-    owned = sum(b - a for a, b in zip(starts, stops))
+    lo = min(a for a, _ in spans)
+    hi = max(b for _, b in spans)
+    # sanity: the process's distinct row spans must tile [lo, hi) exactly
+    owned = sum(b - a for a, b in spans)
     assert owned == hi - lo, (
         f"process-local shards are not contiguous: cover {owned} of "
         f"[{lo}, {hi})"

@@ -14,6 +14,7 @@ import re
 from pathlib import Path
 from typing import Any
 
+import jax
 import orbax.checkpoint as ocp
 
 _EPOCH_RE = re.compile(r"epoch_(\d+)$")
@@ -23,15 +24,62 @@ def save_checkpoint(
     output_path: str | Path, epoch: int, state: Any, extra: dict | None = None
 ) -> Path:
     """Save ``state`` (a pytree) under ``<output>/epoch_{epoch:04d}``."""
+    ckptr = ocp.StandardCheckpointer()
+    ckpt_dir = _start_save(ckptr, output_path, epoch, state, extra)
+    ckptr.wait_until_finished()
+    return ckpt_dir
+
+
+def _start_save(
+    ckptr: ocp.StandardCheckpointer,
+    output_path: str | Path,
+    epoch: int,
+    state: Any,
+    extra: dict | None,
+) -> Path:
     output_path = Path(output_path).resolve()
     ckpt_dir = output_path / f"epoch_{epoch:04d}"
-    ckptr = ocp.StandardCheckpointer()
     ckptr.save(ckpt_dir, state, force=True)
-    ckptr.wait_until_finished()
-    if extra is not None:
+    # the meta sidecar is tiny and host-local; process 0 writes it eagerly
+    # (restore treats a missing sidecar as empty, so a crash between the
+    # async array write and this point degrades gracefully)
+    if extra is not None and jax.process_index() == 0:
         with open(output_path / f"epoch_{epoch:04d}.meta.json", "w") as f:
             json.dump(extra, f)
     return ckpt_dir
+
+
+class AsyncCheckpointManager:
+    """Overlapped per-epoch saves: ``StandardCheckpointer``'s save is
+    already async (arrays are snapshotted to host then written by a
+    background thread); the reference blocks training on ``torch.save``
+    every epoch (reference trainer.py:214, :239-256). We only block if a
+    previous save hasn't finished by the time the next one starts (and in
+    ``close()`` before the process exits), so checkpoint I/O rides the
+    training compute."""
+
+    def __init__(self) -> None:
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def save(
+        self,
+        output_path: str | Path,
+        epoch: int,
+        state: Any,
+        extra: dict | None = None,
+    ) -> Path:
+        # implicit barrier with any in-flight save: Orbax serializes saves
+        # on the same checkpointer and raises on overlapping writes, so
+        # wait first (a no-op when the previous write already landed)
+        self._ckptr.wait_until_finished()
+        return _start_save(self._ckptr, output_path, epoch, state, extra)
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        self._ckptr.wait_until_finished()
+        self._ckptr.close()
 
 
 def latest_epoch(output_path: str | Path) -> int | None:

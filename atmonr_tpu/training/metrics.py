@@ -49,6 +49,10 @@ def ssim_per_view(
         )
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
+    # views smaller than the window (tiny test granules): shrink to the
+    # largest odd size that fits so 'valid' convolution stays non-empty
+    fit = min(kernel_size, pred.shape[1], pred.shape[2])
+    kernel_size = fit if fit % 2 else fit - 1
     kernel = _gaussian_kernel(kernel_size, sigma)[None]
 
     def smooth(x):

@@ -36,12 +36,19 @@ from atmonr_tpu.training.schedules import make_lr_schedule
 
 
 class _ScalarLogger:
-    """TensorBoard writer when available, JSONL always."""
+    """TensorBoard writer when available, JSONL always.
+
+    Multi-host: only process 0 writes (every process computes identical
+    replicated metrics; N writers appending one shared-filesystem JSONL /
+    event file would interleave corruptly)."""
 
     def __init__(self, log_dir: Path) -> None:
+        self.jsonl = None
+        self.tb = None
+        if jax.process_index() != 0:
+            return
         log_dir.mkdir(parents=True, exist_ok=True)
         self.jsonl = open(log_dir / "metrics.jsonl", "a")
-        self.tb = None
         try:
             from torch.utils.tensorboard.writer import SummaryWriter
 
@@ -50,10 +57,13 @@ class _ScalarLogger:
             pass
 
     def scalar(self, tag: str, value: float, step: int) -> None:
-        self.jsonl.write(
-            json.dumps({"tag": tag, "value": float(value), "step": int(step)})
-            + "\n"
-        )
+        if self.jsonl is not None:
+            self.jsonl.write(
+                json.dumps(
+                    {"tag": tag, "value": float(value), "step": int(step)}
+                )
+                + "\n"
+            )
         if self.tb is not None:
             self.tb.add_scalar(tag, value, step)
 
@@ -62,7 +72,8 @@ class _ScalarLogger:
             self.tb.add_image(tag, np.transpose(img_hwc, (2, 0, 1)), step)
 
     def flush(self) -> None:
-        self.jsonl.flush()
+        if self.jsonl is not None:
+            self.jsonl.flush()
         if self.tb is not None:
             self.tb.flush()
 
@@ -135,7 +146,12 @@ class Trainer:
         self.logger = _ScalarLogger(self.tensorboard_dir)
 
         self.mesh = None
+        # per-epoch saves overlap with the next epoch's compute; train()
+        # blocks on the last one before returning (training/checkpoint.py)
+        self._ckpt_mgr = ckpt.AsyncCheckpointManager()
         self._train_step = jax.jit(self._step, donate_argnums=(0,))
+        # multi-host: one console narrator (logging is gated the same way)
+        self._print = print if jax.process_index() == 0 else (lambda *a, **k: None)
 
     def shard(self, mesh) -> None:
         """Switch to multi-chip training: shard the HBM-resident ray store
@@ -318,7 +334,9 @@ class Trainer:
                         f"{self.iter_count}/{self.num_iters} | "
                         f"Loss: {mean_loss:.5f}"
                     )
-                    print(line + max(0, last_len - len(line)) * " ", end="\r")
+                    self._print(
+                        line + max(0, last_len - len(line)) * " ", end="\r"
+                    )
                     last_len = len(line)
                 if self.iter_count >= self.num_iters or self._preempted:
                     break
@@ -330,14 +348,15 @@ class Trainer:
                 jax.profiler.stop_trace()
                 profiling = False
             if self._preempted:
-                print(
+                self._print(
                     f"\npreempted: checkpoint epoch {self.epoch_idx} saved, "
                     "resume with --resume"
                 )
                 break
         if profiling:
             jax.profiler.stop_trace()
-        print()
+        self._ckpt_mgr.wait()  # the last epoch's async save must be durable
+        self._print()
 
     def _end_of_epoch(self, last_len: int = 0) -> None:
         ds = self.dataset
@@ -351,7 +370,7 @@ class Trainer:
                 continue
             line += f" | {name}: {val:.3f}"
             self.logger.scalar(name, val, self.epoch_idx)
-        print(line + max(0, last_len - len(line)) * " ")
+        self._print(line + max(0, last_len - len(line)) * " ")
 
         # side-by-side RGB comparison: surface | atmosphere | full | target
         pred_surf = ds.scatter_image(np.asarray(self.state["pred_pixels_surf"]))
@@ -377,7 +396,7 @@ class Trainer:
         }
         if self.state["aux"]:
             saved["aux"] = self.state["aux"]
-        ckpt.save_checkpoint(
+        self._ckpt_mgr.save(
             output_path,
             epoch,
             saved,
@@ -389,6 +408,7 @@ class Trainer:
         )
 
     def load(self, output_path: str | Path) -> None:
+        self._ckpt_mgr.wait()  # an in-flight save may be the latest epoch
         template = {
             "params": self.state["params"],
             "opt_state": self.state["opt_state"],

@@ -1,0 +1,33 @@
+"""Real multi-process (simulated multi-host) training smoke.
+
+The other parallel tests shard over an in-process virtual mesh; this one
+spawns REAL separate controllers (jax.distributed + Gloo CPU collectives)
+via tools/multihost_smoke and checks the full stack across the process
+boundary: host-local ray loading, the shard_map'd train step, collective
+Orbax checkpointing, and process-0-gated logging. SURVEY §2b/§5 — the
+distributed backend is green-field vs the single-GPU reference.
+"""
+
+import subprocess
+import sys
+
+
+def test_multihost_two_processes():
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "tools.multihost_smoke",
+            "--num-processes",
+            "2",
+            "--devices-per-process",
+            "2",
+            "--timeout",
+            "600",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=700,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "multihost_smoke OK" in proc.stdout, proc.stdout
