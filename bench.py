@@ -28,13 +28,17 @@ throughput: ~1e5 rays/s for tiny-cuda-nn fwd+bwd at its work rate on a
 from __future__ import annotations
 
 import json
-import sys
-import time
 
 REFERENCE_RAYS_PER_S_ESTIMATE = 1.0e5
 
 BATCH_SIZE = 8192
-WARMUP_ITERS = 5
+# transport warm-up: beyond first-compile, the first few hundred dispatches
+# in a process run 1.2-3x slow on this PJRT transport
+# (tools/bench_variants.py: an interleaved A/B showed the FIRST timed run at
+# 61 ms/iter and every later run of the same jitted fn at 18 ms/iter) — so
+# warm in 50-iter blocks until two consecutive blocks agree within 5%
+WARMUP_BLOCK = 50
+MAX_WARMUP_ITERS = 1200
 # wide window: at ~20 ms/step, 20 iters was dominated by transport jitter
 # and the tail sync (measured 2x slower than a 3000-iter loop of the same
 # jitted step); 250 iters covers ~15 occupancy refreshes and ~5 s of steady
@@ -75,7 +79,13 @@ def main() -> None:
 
     from atmonr_tpu.data.batching import batch_at_step
 
-    @jax.jit
+    import functools
+
+    # donating the train state is worth ~15% end-to-end on this transport
+    # (tools/bench_variants.py: 392.6k -> 450.7k rays/s); folding the
+    # occupancy refresh into the step behind a lax.cond measured no further
+    # gain, so the host-cadence refresh stays
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, perm, i, step):
         batch = batch_at_step(rays, perm, i, BATCH_SIZE)
         key = jax.random.fold_in(jax.random.PRNGKey(2), step)
@@ -104,25 +114,26 @@ def main() -> None:
             )
         return state
 
-    # warmup (compile); NOTE: fetch a value — on some PJRT transports
-    # block_until_ready returns before execution completes
-    for i in range(WARMUP_ITERS):
-        state, loss = train_step(state, perm, i % steps_per_epoch, i)
+    from atmonr_tpu.utils.benchmark import timed_window, warm_until_steady
+
     if aux_every:  # compile the refresh outside the timed window
         state["aux"] = update_aux(
             state["params"], state["aux"], jax.random.PRNGKey(3)
         )
-    _ = float(loss)
 
-    t0 = time.perf_counter()
-    for i in range(TIMED_ITERS):
-        step = WARMUP_ITERS + i
-        state, loss = train_step(
-            state, perm, step % steps_per_epoch, step
+    box = {"state": state}
+
+    def one_iter(step):
+        box["state"], loss = train_step(
+            box["state"], perm, step % steps_per_epoch, step
         )
-        state = maybe_refresh_occ(state, step)
-    _ = float(loss)
-    dt = time.perf_counter() - t0
+        box["state"] = maybe_refresh_occ(box["state"], step)
+        return loss
+
+    step = warm_until_steady(
+        one_iter, float, block=WARMUP_BLOCK, max_iters=MAX_WARMUP_ITERS
+    )
+    dt = timed_window(one_iter, float, start_step=step, iters=TIMED_ITERS)
 
     rays_per_s = BATCH_SIZE * TIMED_ITERS / dt
     print(

@@ -13,21 +13,32 @@ import sys
 
 
 def test_multihost_two_processes():
-    proc = subprocess.run(
-        [
-            sys.executable,
-            "-m",
-            "tools.multihost_smoke",
-            "--num-processes",
-            "2",
-            "--devices-per-process",
-            "2",
-            "--timeout",
-            "600",
-        ],
-        capture_output=True,
-        text=True,
-        timeout=700,
-    )
+    # The coordination-service barrier can time out when the machine is
+    # heavily loaded (e.g. the full suite + a TPU bench in parallel); that is
+    # environment flake, not a product failure — retry once before failing.
+    for attempt in range(2):
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "tools.multihost_smoke",
+                "--num-processes",
+                "2",
+                "--devices-per-process",
+                "2",
+                "--timeout",
+                "600",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=700,
+        )
+        if proc.returncode == 0 or (
+            attempt == 0 and "CoordinationService" in proc.stdout + proc.stderr
+        ):
+            if proc.returncode == 0:
+                break
+            continue
+        break
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "multihost_smoke OK" in proc.stdout, proc.stdout

@@ -17,9 +17,8 @@ Usage:
 from __future__ import annotations
 
 import sys
-import time
 
-import numpy as np
+from atmonr_tpu.utils.benchmark import timed_window, warm_until_steady
 
 
 def run(spec: str, base_batch: int, iters: int = 50) -> None:
@@ -57,22 +56,31 @@ def run(spec: str, base_batch: int, iters: int = 50) -> None:
 
     perm = epoch_permutation(jax.random.PRNGKey(1), n, batch)
     spe = max(1, n // batch)
-    for i in range(3):  # warmup/compile
-        state, loss = step(state, rays, perm, i % spe, i)
-    if aux_every:
+    if aux_every:  # compile the refresh outside any timed window
         state["aux"] = update_aux(state["params"], state["aux"], jax.random.PRNGKey(2))
-    _ = float(loss)
 
-    t0 = time.perf_counter()
-    for i in range(iters):
-        s = 3 + i
-        state, loss = step(state, rays, perm, s % spe, s)
+    box = {"state": state}
+
+    def one_iter(s):
+        box["state"], loss = step(box["state"], rays, perm, s % spe, s)
         if aux_every and (s + 1) % aux_every == 0:
-            state["aux"] = update_aux(
-                state["params"], state["aux"], jax.random.fold_in(jax.random.PRNGKey(3), s)
+            box["state"]["aux"] = update_aux(
+                box["state"]["params"],
+                box["state"]["aux"],
+                jax.random.fold_in(jax.random.PRNGKey(3), s),
             )
-    _ = float(loss)
-    dt = time.perf_counter() - t0
+        return loss
+
+    # transport warm-up: the first few hundred dispatches of a process run
+    # 1.2-3x slow (atmonr_tpu/utils/benchmark.py); on CPU meshes a plain
+    # compile warmup is enough and the blocks converge immediately
+    s0 = warm_until_steady(
+        one_iter,
+        float,
+        block=25 if jax.default_backend() == "tpu" else 3,
+        max_iters=1200 if jax.default_backend() == "tpu" else 6,
+    )
+    dt = timed_window(one_iter, float, start_step=s0, iters=iters)
     rps = batch * iters / dt
     print(
         f"[mesh {spec}] batch={batch} {iters} iters in {dt:.2f}s: "
