@@ -21,10 +21,16 @@ against a 128-entry chunk:
 ``fori_loop`` carries real per-iteration scalar overhead). In ``bf16`` mode
 both features of an entry are packed into one u32 word so the scan runs
 once per entry (tcnn stores fp16 tables; same half-precision trade);
-``f32`` mode scans one u32 word per feature for exact f32 numerics. Cost
-is O(table_size x lookups) VPU work, so :func:`supported` caps levels at
-2^15 entries — the TPU flagship config's choice. Measured (v5e, flagship
-work rate): 3.5x the XLA gather path.
+``f32`` mode scans one u32 word per feature for exact f32 numerics;
+``q8`` mode packs TWO entries per word (2 x int8 features each, per-level
+symmetric scales computed from the live table every step) so each
+128-word chunk covers 256 entries and the scan runs half of bf16's chunk
+steps — measured 1.85x bf16 at flagship scale (4.3 vs 8.0 ms), with f32
+master weights and the exact table gradient unchanged (the backward
+depends only on positions and cotangents). Cost is O(table_size x
+lookups) VPU work, so :func:`supported` caps levels at 2^15 entries
+(2^16 for q8) — the TPU flagship config's choice. Measured (v5e,
+flagship work rate): 3.5x the XLA gather path (bf16), 6.5x (q8).
 
 Index math mirrors ``models.hash_grid.level_indices`` op-for-op (same IEEE
 ops, same order), so ``f32`` mode is bit-exact against the XLA path and
@@ -46,12 +52,24 @@ _UNROLL = 32  # swept 8/16/32 x block 4096/8192/16384 on v5e: 32/4096 best (~7%)
 _BLOCK_POINTS = 4096  # points per grid step; 32 (8,128) vregs per corner
 
 
-def _scan_chunks(table_ref, word: int, cids, locals_, c_begin: int, c_end: int):
+def _scan_chunks(
+    table_ref,
+    word: int,
+    cids,
+    locals_,
+    c_begin: int,
+    c_end: int,
+    local_mask: int = 0,
+):
     """Masked chunk scan over one level's global chunk range, serving ALL
     corners' lookups in one pass so the per-chunk table-row broadcast is
     shared (8 corners: 17 VPU ops/chunk instead of 24). ``cids`` holds the
     global chunk id per corner (level chunk offset already added); returns
-    one packed u32 feature word per corner per lookup."""
+    one packed u32 feature word per corner per lookup.
+
+    ``local_mask`` masks high bits of ``locals_`` at gather time (q8 mode
+    keeps the entry-half bit packed in ``locals_`` bit 7 rather than as 8
+    more live (PV, 128) arrays across the scan)."""
 
     def step(c, accs):
         vals = table_ref[word, c, :]  # (128,) u32
@@ -59,7 +77,13 @@ def _scan_chunks(table_ref, word: int, cids, locals_, c_begin: int, c_end: int):
         return tuple(
             jnp.where(
                 cids[k] == c,
-                jnp.take_along_axis(vals_b, locals_[k], axis=1),
+                jnp.take_along_axis(
+                    vals_b,
+                    jax.lax.bitwise_and(locals_[k], local_mask)
+                    if local_mask
+                    else locals_[k],
+                    axis=1,
+                ),
                 accs[k],
             )
             for k in range(len(cids))
@@ -85,6 +109,42 @@ def _unpack_bf16_pair(packed):
     """u32 word -> (f32, f32): a bf16's f32 bits are its own bits << 16."""
     f0 = jax.lax.bitcast_convert_type(packed & jnp.uint32(0xFFFF0000), jnp.float32)
     f1 = jax.lax.bitcast_convert_type(packed << 16, jnp.float32)
+    return f0, f1
+
+
+def _unpack_q8_pair(packed, half_sel):
+    """u32 word [b3 b2 b1 b0] -> the selected entry's two int8 features
+    as f32 (un-scaled): half 0 = (b0, b1), half 1 = (b2, b3)."""
+    half = jnp.where(half_sel == 1, packed >> 16, packed)
+    hi = jax.lax.bitcast_convert_type(half, jnp.int32)
+    f0 = jax.lax.shift_right_arithmetic(jax.lax.shift_left(hi, 24), 24)
+    f1 = jax.lax.shift_right_arithmetic(jax.lax.shift_left(hi, 16), 24)
+    return f0.astype(jnp.float32), f1.astype(jnp.float32)
+
+
+def _decode_e4m3(byte):
+    """u32 whose low 8 bits hold a float8_e4m3fn code -> f32 value.
+    Exact: normals via direct exponent rebias into f32 bits, denormals
+    (E=0) are M * 2^-9; the encoder never emits the NaN code (0x7f)."""
+    sgn = byte >> 7
+    mag = jax.lax.bitwise_and(byte, jnp.uint32(127))
+    normal = jax.lax.bitcast_convert_type(
+        (mag << 20) + jnp.uint32(120 << 23), jnp.float32
+    )
+    # Mosaic lacks u32 -> f32 casts; route through i32 (values are 0..7)
+    denorm = jax.lax.bitcast_convert_type(
+        jax.lax.bitwise_and(mag, jnp.uint32(7)), jnp.int32
+    ).astype(jnp.float32) * (2.0**-9)
+    v = jnp.where(mag >= 8, normal, denorm)
+    return jnp.where(sgn == 1, -v, v)
+
+
+def _unpack_f8_pair(packed, half_sel):
+    """u32 word [b3 b2 b1 b0] -> the selected entry's two e4m3 features
+    as f32 (un-scaled): half 0 = (b0, b1), half 1 = (b2, b3)."""
+    half = jnp.where(half_sel == 1, packed >> 16, packed)
+    f0 = _decode_e4m3(jax.lax.bitwise_and(half, jnp.uint32(255)))
+    f1 = _decode_e4m3(jax.lax.bitwise_and(half >> 8, jnp.uint32(255)))
     return f0, f1
 
 
@@ -135,10 +195,31 @@ def _fused_kernel(
             w = jnp.ones_like(x[0])
             for d in range(nd):
                 w = w * (frac[d] if cbits[d] else 1.0 - frac[d])
-            cids.append(jax.lax.shift_right_logical(idx, 7) + c_begin)
-            locals_.append(jax.lax.bitwise_and(idx, LANES - 1))
+            if mode in ("q8", "f8"):
+                # one u32 word packs TWO entries (2 x 8-bit features each):
+                # a 128-word chunk covers 256 entries — half the scan.
+                # Entry e of a chunk sits at lane e & 127, 16-bit half
+                # e >> 7 (the layout keeps packing a contiguous reshape);
+                # locals_ carries lane AND half (bit 7) in one live array,
+                # masked at gather time
+                cids.append(jax.lax.shift_right_logical(idx, 8) + c_begin)
+                locals_.append(jax.lax.bitwise_and(idx, 2 * LANES - 1))
+            else:
+                cids.append(jax.lax.shift_right_logical(idx, 7) + c_begin)
+                locals_.append(jax.lax.bitwise_and(idx, LANES - 1))
             ws.append(w)
-        if mode == "bf16":
+        if mode in ("q8", "f8"):
+            unpack = _unpack_q8_pair if mode == "q8" else _unpack_f8_pair
+            packed = _scan_chunks(
+                table_ref, 0, cids, locals_, c_begin, c_end,
+                local_mask=LANES - 1,
+            )
+            for corner in range(n_corners):
+                half = jax.lax.shift_right_logical(locals_[corner], 7)
+                f0, f1 = unpack(packed[corner], half)
+                acc[0] = acc[0] + ws[corner] * f0
+                acc[1] = acc[1] + ws[corner] * f1
+        elif mode == "bf16":
             packed = _scan_chunks(table_ref, 0, cids, locals_, c_begin, c_end)
             for corner in range(n_corners):
                 f0, f1 = _unpack_bf16_pair(packed[corner])
@@ -188,30 +269,112 @@ def pack_level_table(
     return words.T.reshape(n_feats, padded // LANES, LANES)
 
 
+def quantize_level_q8(table: jax.Array, level_offset: int, level_size: int):
+    """Per-level symmetric int8 quantization: (T, 2) f32 slice ->
+    (clipped round(t/s) int32 in [-127, 127], scale s = max|t|/127)."""
+    t = table[level_offset : level_offset + level_size]
+    s = jnp.maximum(jnp.max(jnp.abs(t)), 1e-30) / 127.0
+    q = jnp.clip(jnp.round(t / s), -127, 127).astype(jnp.int32)
+    return q, s
+
+
+def pack_level_table_q8(
+    table: jax.Array, level_offset: int, level_size: int
+) -> tuple[jax.Array, jax.Array]:
+    """One level packed for the q8 scan: TWO entries (2 x int8 features
+    each) per u32 word, (1, ceil(T/256), 128) u32 — chunks cover 256
+    entries, halving the scan vs bf16 mode. Entry e of a chunk occupies
+    lane e & 127, 16-bit half e >> 7, so packing is lane slices + one
+    contiguous reshape (a first stride-2 layout cost 3.5 ms/step vs this
+    one's ~1 ms). Returns (packed, scale)."""
+    q, s = quantize_level_q8(table, level_offset, level_size)
+    padded = -(-level_size // (2 * LANES)) * (2 * LANES)
+    if padded != level_size:
+        q = jnp.concatenate(
+            [q, jnp.zeros((padded - level_size, q.shape[1]), q.dtype)], axis=0
+        )
+    b = jax.lax.bitwise_and(q, 255).astype(jnp.uint32)  # (Tp, 2) bytes
+    return _pack_bytes(b, padded), s
+
+
+def _pack_bytes(b: jax.Array, padded: int) -> jax.Array:
+    """(Tp, 2) u32 byte values -> (1, Tp/256, 128) packed words."""
+    halves = b[:, 0] | (b[:, 1] << 8)  # (Tp,) u16 bits per entry
+    hr = halves.reshape(padded // (2 * LANES), 2, LANES)  # [c, half, lane]
+    words = hr[:, 0, :] | (hr[:, 1, :] << 16)  # (C, 128)
+    return words[None]
+
+
+def quantize_level_f8(table: jax.Array, level_offset: int, level_size: int):
+    """Per-level power-of-2-scaled float8_e4m3fn quantization: (T, 2) f32
+    slice -> (e4m3 codes, scale s) with max|t|/s <= 448 (e4m3's max)."""
+    t = table[level_offset : level_offset + level_size]
+    m = jnp.maximum(jnp.max(jnp.abs(t)), 1e-30)
+    s = jnp.exp2(jnp.ceil(jnp.log2(m / 448.0)))
+    return (t / s).astype(jnp.float8_e4m3fn), s
+
+
+def pack_level_table_f8(
+    table: jax.Array, level_offset: int, level_size: int
+) -> tuple[jax.Array, jax.Array]:
+    """One level packed for the f8 scan: TWO entries (2 x e4m3 features
+    each) per u32 word — same layout and scan cost as q8, but float8
+    keeps ~6% RELATIVE precision across magnitudes where int8's absolute
+    step drowns small features. Returns (packed, scale)."""
+    f8, s = quantize_level_f8(table, level_offset, level_size)
+    padded = -(-level_size // (2 * LANES)) * (2 * LANES)
+    if padded != level_size:
+        f8 = jnp.concatenate(
+            [f8, jnp.zeros((padded - level_size, f8.shape[1]), f8.dtype)],
+            axis=0,
+        )
+    b = jax.lax.bitcast_convert_type(f8, jnp.uint8).astype(jnp.uint32)
+    return _pack_bytes(b, padded), s
+
+
 def pack_tables(table: jax.Array, cfg, mode: str):
     """All levels packed + concatenated along the chunk axis.
 
-    Returns (packed (W, total_chunks, 128) u32, chunk_offs, chunk_counts).
+    Returns (packed (W, total_chunks, 128) u32, chunk_offs, chunk_counts,
+    scales) — ``scales`` is a per-level (n_levels,) f32 dequantization
+    factor for ``q8`` mode, None otherwise.
     """
-    parts, offs, counts = [], [], []
+    parts, offs, counts, scales = [], [], [], []
     total = 0
     for level in range(cfg.n_levels):
-        p = pack_level_table(
-            table, cfg.level_offsets[level], cfg.level_sizes[level], mode
-        )
+        if mode in ("q8", "f8"):
+            pack_one = (
+                pack_level_table_q8 if mode == "q8" else pack_level_table_f8
+            )
+            p, s = pack_one(
+                table, cfg.level_offsets[level], cfg.level_sizes[level]
+            )
+            scales.append(s)
+        else:
+            p = pack_level_table(
+                table, cfg.level_offsets[level], cfg.level_sizes[level], mode
+            )
         parts.append(p)
         offs.append(total)
         counts.append(p.shape[1])
         total += p.shape[1]
-    return jnp.concatenate(parts, axis=1), tuple(offs), tuple(counts)
+    return (
+        jnp.concatenate(parts, axis=1),
+        tuple(offs),
+        tuple(counts),
+        jnp.stack(scales) if mode in ("q8", "f8") else None,
+    )
 
 
 def supported(cfg, mode: str = "bf16", max_table_entries: int = 1 << 15) -> bool:
     """Whether the Pallas path applies: 2-D/3-D grids with every level's
     table small enough that the chunk scan beats the XLA gather (the scan
-    is O(table_size x lookups))."""
-    if mode == "bf16" and cfg.n_features_per_level != 2:
+    is O(table_size x lookups); q8 packs 2 entries/word so its scan costs
+    half of bf16's at equal table size)."""
+    if mode in ("bf16", "q8", "f8") and cfg.n_features_per_level != 2:
         return False
+    if mode in ("q8", "f8"):
+        max_table_entries *= 2
     return cfg.n_dims in (2, 3) and max(cfg.level_sizes) <= max_table_entries
 
 
@@ -231,7 +394,7 @@ def hash_encode_pallas_fwd(
         )
     # (M, D) -> (D, M/128, 128): coordinate-major, naturally lane-tiled
     x3 = x.astype(jnp.float32).T.reshape(nd, m_pad // LANES, LANES)
-    packed, chunk_offs, chunk_counts = pack_tables(table, cfg, mode)
+    packed, chunk_offs, chunk_counts, scales = pack_tables(table, cfg, mode)
     n_words = packed.shape[0]
     total_chunks = packed.shape[1]
     pv_blk = _BLOCK_POINTS // LANES
@@ -266,5 +429,9 @@ def hash_encode_pallas_fwd(
         ),
         interpret=jax.default_backend() != "tpu",
     )(packed, x3)
+    if mode in ("q8", "f8"):
+        # dequantize outside the kernel: the scan accumulated integer-
+        # valued features x trilerp weights; scale is per level (2 rows)
+        out = out * jnp.repeat(scales, f)[:, None, None]
     # (L*F, M/128, 128) -> (M, L*F)
     return out.reshape(cfg.n_levels * f, m_pad).T[:m]

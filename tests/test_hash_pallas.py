@@ -56,7 +56,8 @@ def test_supported_gate(cfg):
 
 
 def test_pack_tables_roundtrip(table, cfg):
-    packed, offs, counts = pack_tables(table, cfg, "f32")
+    packed, offs, counts, scales = pack_tables(table, cfg, "f32")
+    assert scales is None
     assert packed.shape[0] == 2 and packed.shape[2] == 128
     assert offs[0] == 0 and len(offs) == len(counts) == cfg.n_levels
     assert packed.shape[1] == sum(counts)
@@ -82,6 +83,85 @@ def test_pallas_fwd_bf16_matches_rounded_table(table, cfg):
     # and close to the exact f32 result at bf16 tolerance
     exact = _hash_encode_impl(table, x, cfg)
     np.testing.assert_allclose(np.asarray(got), np.asarray(exact), rtol=2e-2, atol=1e-6)
+
+
+def test_pallas_fwd_q8_matches_quantized_table(table, cfg):
+    from atmonr_tpu.ops.hash_gather_pallas import quantize_level_q8
+
+    x = jax.random.uniform(jax.random.PRNGKey(8), (300, 3))
+    got = hash_encode_pallas_fwd(table, x, cfg, mode="q8")
+    # reference: dequantize per level, then the exact XLA path
+    parts = []
+    for level in range(cfg.n_levels):
+        q, s = quantize_level_q8(
+            table, cfg.level_offsets[level], cfg.level_sizes[level]
+        )
+        parts.append(q.astype(jnp.float32) * s)
+    deq = jnp.concatenate(parts, axis=0)
+    want = _hash_encode_impl(deq, x, cfg)
+    # same products, different scale-multiply order -> f32 roundoff only
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-9)
+    # and close to the exact f32 result at int8 tolerance (scale = max|t|/127)
+    exact = _hash_encode_impl(table, x, cfg)
+    atol = float(jnp.max(jnp.abs(table))) / 127.0 * 8  # 8 corners
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact), atol=atol)
+
+
+def test_pallas_fwd_f8_matches_quantized_table(table, cfg):
+    from atmonr_tpu.ops.hash_gather_pallas import quantize_level_f8
+
+    x = jax.random.uniform(jax.random.PRNGKey(8), (300, 3))
+    got = hash_encode_pallas_fwd(table, x, cfg, mode="f8")
+    parts = []
+    for level in range(cfg.n_levels):
+        f8, s = quantize_level_f8(
+            table, cfg.level_offsets[level], cfg.level_sizes[level]
+        )
+        parts.append(f8.astype(jnp.float32) * s)
+    deq = jnp.concatenate(parts, axis=0)
+    want = _hash_encode_impl(deq, x, cfg)
+    # same products, different scale-multiply order: near-cancelling sums
+    # round differently, so allow absolute slack well below feature scale
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-8)
+    # e4m3 keeps ~6% relative precision: compare against exact f32
+    exact = _hash_encode_impl(table, x, cfg)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(exact), rtol=0.2, atol=float(jnp.max(jnp.abs(table))) * 0.07
+    )
+
+
+def test_decode_e4m3_all_codes():
+    """The in-kernel decoder matches XLA's float8_e4m3fn -> f32 for every
+    code the encoder can emit (all 256 except the two NaN codes)."""
+    from atmonr_tpu.ops.hash_gather_pallas import _decode_e4m3
+
+    codes = np.arange(256, dtype=np.uint8)
+    keep = (codes & 0x7F) != 0x7F  # e4m3fn NaN codes
+    codes = codes[keep]
+    want = jax.lax.bitcast_convert_type(
+        jnp.asarray(codes), jnp.float8_e4m3fn
+    ).astype(jnp.float32)
+    got = _decode_e4m3(jnp.asarray(codes, jnp.uint32))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_fwd_q8_2d():
+    from atmonr_tpu.models.hash_grid import init_hash_table
+
+    cfg2 = HashGridConfig(
+        n_dims=2,
+        n_levels=4,
+        n_features_per_level=2,
+        log2_hashmap_size=9,
+        base_resolution=4,
+        per_level_scale=1.5,
+    )
+    table2 = init_hash_table(jax.random.PRNGKey(3), cfg2)
+    x = jax.random.uniform(jax.random.PRNGKey(12), (300, 2))
+    got = hash_encode_pallas_fwd(table2, x, cfg2, mode="q8")
+    exact = _hash_encode_impl(table2, x, cfg2)
+    atol = float(jnp.max(jnp.abs(table2))) / 127.0 * 4
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact), atol=atol)
 
 
 def test_pallas_fwd_out_of_range_positions(table, cfg):
