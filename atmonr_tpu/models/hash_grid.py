@@ -192,7 +192,12 @@ def _hash_encode_impl(table: jax.Array, x: jax.Array, cfg: HashGridConfig):
     return jnp.concatenate(outs, axis=-1)
 
 
-def _fwd_dispatch(table: jax.Array, x: jax.Array, cfg: HashGridConfig):
+def _fwd_dispatch(
+    table: jax.Array,
+    x: jax.Array,
+    cfg: HashGridConfig,
+    sr_noise: jax.Array | None = None,
+):
     """Pick the forward gather implementation per ``cfg.fwd_mode``.
 
     The Pallas chunked-VMEM kernel (ops/hash_gather_pallas.py) beats XLA's
@@ -205,16 +210,23 @@ def _fwd_dispatch(table: jax.Array, x: jax.Array, cfg: HashGridConfig):
 
         mode = "bf16" if cfg.fwd_mode == "auto" else cfg.fwd_mode
         if hgp.supported(cfg, mode):
-            return hgp.hash_encode_pallas_fwd(table, x, cfg, mode)
+            return hgp.hash_encode_pallas_fwd(
+                table, x, cfg, mode, sr_noise if mode == "q8" else None
+            )
     return _hash_encode_impl(table, x, cfg)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _hash_encode_core(table, x, sr_noise, cfg, compute_dx):
+    return _fwd_dispatch(table, x, cfg, sr_noise)
+
+
 def hash_encode(
     table: jax.Array,
     x: jax.Array,
     cfg: HashGridConfig,
     compute_dx: bool = False,
+    sr_noise: jax.Array | None = None,
 ) -> jax.Array:
     """Multiresolution hash encoding of (M, D) positions -> (M, L*F) features.
 
@@ -230,16 +242,22 @@ def hash_encode(
     ``compute_dx`` (static): position gradients cost a second gather pass and
     are unused when sample positions carry no learnable dependence (the
     Instant-NGP pipeline); leave False to skip them.
+
+    ``sr_noise``: optional table-shaped U[0,1) array enabling stochastic
+    rounding of the ``q8`` Pallas forward's int8 quantization (unbiased
+    per-step error; see ops/hash_gather_pallas.quantize_level_q8). Ignored
+    by every other mode; carries no gradient (the table gradient is exact
+    f32 regardless of the forward's quantization).
     """
-    return _fwd_dispatch(table, x, cfg)
+    return _hash_encode_core(table, x, sr_noise, cfg, compute_dx)
 
 
-def _hash_encode_fwd(table, x, cfg, compute_dx):
-    return _fwd_dispatch(table, x, cfg), (table, x)
+def _hash_encode_fwd(table, x, sr_noise, cfg, compute_dx):
+    return _fwd_dispatch(table, x, cfg, sr_noise), (table, x, sr_noise)
 
 
 def _hash_encode_bwd(cfg: HashGridConfig, compute_dx: bool, res, g):
-    table, x = res
+    table, x, sr_noise = res
     f = cfg.n_features_per_level
     corners = jnp.asarray(_corner_offsets(cfg.n_dims), dtype=x.dtype)
 
@@ -293,7 +311,8 @@ def _hash_encode_bwd(cfg: HashGridConfig, compute_dx: bool, res, g):
             dtable = _segment_sum_sorted(idx_flat, vals_flat, cfg.total_params)
         else:
             dtable = jnp.zeros_like(table).at[idx_flat].add(vals_flat)
-    return dtable, dx
+    d_noise = None if sr_noise is None else jnp.zeros_like(sr_noise)
+    return dtable, dx, d_noise
 
 
 def _segment_sum_sorted(idx: jax.Array, vals: jax.Array, num_segments: int):
@@ -321,4 +340,4 @@ def _segment_sum_sorted(idx: jax.Array, vals: jax.Array, num_segments: int):
     return s - jnp.concatenate([jnp.zeros_like(s[:1]), s[:-1]], axis=0)
 
 
-hash_encode.defvjp(_hash_encode_fwd, _hash_encode_bwd)
+_hash_encode_core.defvjp(_hash_encode_fwd, _hash_encode_bwd)

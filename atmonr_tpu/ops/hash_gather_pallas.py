@@ -269,17 +269,36 @@ def pack_level_table(
     return words.T.reshape(n_feats, padded // LANES, LANES)
 
 
-def quantize_level_q8(table: jax.Array, level_offset: int, level_size: int):
+def quantize_level_q8(
+    table: jax.Array,
+    level_offset: int,
+    level_size: int,
+    noise: jax.Array | None = None,
+):
     """Per-level symmetric int8 quantization: (T, 2) f32 slice ->
-    (clipped round(t/s) int32 in [-127, 127], scale s = max|t|/127)."""
+    (clipped round(t/s) int32 in [-127, 127], scale s = max|t|/127).
+
+    ``noise`` (same shape as ``table``, U[0,1)) switches to stochastic
+    rounding ``floor(t/s + u)``: E[q*s] = t, so the per-step quantization
+    error is unbiased — deterministic round-to-nearest feeds the training
+    loop a *biased* noise (entries below s/2 are pinned to zero every
+    step), which is the suspected cause of q8's PSNR floor
+    (docs/performance.md)."""
     t = table[level_offset : level_offset + level_size]
     s = jnp.maximum(jnp.max(jnp.abs(t)), 1e-30) / 127.0
-    q = jnp.clip(jnp.round(t / s), -127, 127).astype(jnp.int32)
-    return q, s
+    if noise is None:
+        q = jnp.round(t / s)
+    else:
+        u = noise[level_offset : level_offset + level_size]
+        q = jnp.floor(t / s + u)
+    return jnp.clip(q, -127, 127).astype(jnp.int32), s
 
 
 def pack_level_table_q8(
-    table: jax.Array, level_offset: int, level_size: int
+    table: jax.Array,
+    level_offset: int,
+    level_size: int,
+    noise: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """One level packed for the q8 scan: TWO entries (2 x int8 features
     each) per u32 word, (1, ceil(T/256), 128) u32 — chunks cover 256
@@ -287,7 +306,7 @@ def pack_level_table_q8(
     lane e & 127, 16-bit half e >> 7, so packing is lane slices + one
     contiguous reshape (a first stride-2 layout cost 3.5 ms/step vs this
     one's ~1 ms). Returns (packed, scale)."""
-    q, s = quantize_level_q8(table, level_offset, level_size)
+    q, s = quantize_level_q8(table, level_offset, level_size, noise)
     padded = -(-level_size // (2 * LANES)) * (2 * LANES)
     if padded != level_size:
         q = jnp.concatenate(
@@ -332,23 +351,27 @@ def pack_level_table_f8(
     return _pack_bytes(b, padded), s
 
 
-def pack_tables(table: jax.Array, cfg, mode: str):
+def pack_tables(table: jax.Array, cfg, mode: str, noise: jax.Array | None = None):
     """All levels packed + concatenated along the chunk axis.
 
     Returns (packed (W, total_chunks, 128) u32, chunk_offs, chunk_counts,
     scales) — ``scales`` is a per-level (n_levels,) f32 dequantization
-    factor for ``q8`` mode, None otherwise.
+    factor for ``q8`` mode, None otherwise. ``noise`` (table-shaped U[0,1))
+    selects stochastic rounding for ``q8``.
     """
     parts, offs, counts, scales = [], [], [], []
     total = 0
     for level in range(cfg.n_levels):
         if mode in ("q8", "f8"):
-            pack_one = (
-                pack_level_table_q8 if mode == "q8" else pack_level_table_f8
-            )
-            p, s = pack_one(
-                table, cfg.level_offsets[level], cfg.level_sizes[level]
-            )
+            if mode == "q8":
+                p, s = pack_level_table_q8(
+                    table, cfg.level_offsets[level], cfg.level_sizes[level],
+                    noise,
+                )
+            else:
+                p, s = pack_level_table_f8(
+                    table, cfg.level_offsets[level], cfg.level_sizes[level]
+                )
             scales.append(s)
         else:
             p = pack_level_table(
@@ -379,7 +402,11 @@ def supported(cfg, mode: str = "bf16", max_table_entries: int = 1 << 15) -> bool
 
 
 def hash_encode_pallas_fwd(
-    table: jax.Array, x: jax.Array, cfg, mode: str = "bf16"
+    table: jax.Array,
+    x: jax.Array,
+    cfg,
+    mode: str = "bf16",
+    noise: jax.Array | None = None,
 ) -> jax.Array:
     """Fused forward-equivalent of ``hash_grid._hash_encode_impl``:
     (M, D) positions -> (M, L*F) features, one pallas_call."""
@@ -394,7 +421,7 @@ def hash_encode_pallas_fwd(
         )
     # (M, D) -> (D, M/128, 128): coordinate-major, naturally lane-tiled
     x3 = x.astype(jnp.float32).T.reshape(nd, m_pad // LANES, LANES)
-    packed, chunk_offs, chunk_counts, scales = pack_tables(table, cfg, mode)
+    packed, chunk_offs, chunk_counts, scales = pack_tables(table, cfg, mode, noise)
     n_words = packed.shape[0]
     total_chunks = packed.shape[1]
     pv_blk = _BLOCK_POINTS // LANES

@@ -63,6 +63,9 @@ class InstantNGPPipeline(Pipeline):
         self.pos_cfg = hg.HashGridConfig.from_options(
             ngp["encoding"], self.num_inputs
         )
+        # stochastic rounding of the q8 forward quantization (training only;
+        # eval/extract run key=None and round deterministically)
+        self.pos_sr = bool(ngp["encoding"].get("stochastic_rounding", False))
         self.dir_specs = parse_encoding_config(ngp["dir_encoding"])
         self.dir_in_dims = 3 + _POS_MLP_OUT - self.num_density_outputs
         self.dir_enc_dims = composite_output_dim(self.dir_specs, self.dir_in_dims)
@@ -119,9 +122,16 @@ class InstantNGPPipeline(Pipeline):
             ),
         }
 
-    def _pos_branch(self, params: dict, pts_flat: jax.Array) -> jax.Array:
+    def _pos_branch(
+        self,
+        params: dict,
+        pts_flat: jax.Array,
+        sr_noise: jax.Array | None = None,
+    ) -> jax.Array:
         """Hash-encode + density MLP over flattened points -> (M, 16)."""
-        pos_enc = hg.hash_encode(params["pos_table"], pts_flat, self.pos_cfg)
+        pos_enc = hg.hash_encode(
+            params["pos_table"], pts_flat, self.pos_cfg, False, sr_noise
+        )
         return small_mlp_apply(
             params["pos_mlp"], pos_enc, compute_dtype=self.compute_dtype
         )
@@ -242,6 +252,12 @@ class InstantNGPPipeline(Pipeline):
         ``aux`` carries the occupancy grid when configured; without it the
         sampler falls back to importance/uniform sampling (eval paths)."""
         b = ray_batch["origin"].shape[0]
+        sr_noise = None
+        if self.pos_sr and key is not None:
+            key, k_sr = jax.random.split(key)
+            sr_noise = jax.random.uniform(
+                k_sr, params["pos_table"].shape, dtype=jnp.float32
+            )
         pts, z_vals, n = self._sample(params, ray_batch, key, aux)
         pts_surf = (
             ray_batch["origin"] + ray_batch["dir"] * ray_batch["len"][:, None]
@@ -251,7 +267,9 @@ class InstantNGPPipeline(Pipeline):
         dirs = jnp.broadcast_to(ray_batch["dir"][:, None], (b, n, 3))
         pts = self._encoder_inputs(pts)
 
-        pos_out = self._pos_branch(params, jnp.reshape(pts, (b * n, -1)))
+        pos_out = self._pos_branch(
+            params, jnp.reshape(pts, (b * n, -1)), sr_noise
+        )
         nd = self.num_density_outputs
         dir_in = jnp.concatenate(
             [jnp.reshape(dirs, (b * n, 3)), pos_out[:, nd:]], axis=1

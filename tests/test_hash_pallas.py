@@ -196,3 +196,42 @@ def test_pallas_fwd_2d_exact():
     want = _hash_encode_impl(table2, x, cfg2)
     assert got.shape == want.shape == (300, cfg2.n_output_dims)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-9)
+
+
+def test_q8_stochastic_rounding(table, cfg):
+    """SR quantization: within 1 LSB of deterministic, unbiased in
+    expectation, and noise=None keeps the historical round-to-nearest."""
+    from atmonr_tpu.ops.hash_gather_pallas import quantize_level_q8
+
+    size = cfg.level_sizes[0]
+    q_det, s_det = quantize_level_q8(table, 0, size)
+    # noise=0.5 reproduces round-half-up; any noise stays within 1 LSB
+    n_half = jnp.full(table.shape, 0.5)
+    q_half, s_half = quantize_level_q8(table, 0, size, n_half)
+    assert float(s_half) == float(s_det)
+    assert int(jnp.max(jnp.abs(q_half - q_det))) <= 1
+    # unbiased: mean of q*s over noise draws approaches the f32 values
+    t = table[:size]
+    acc = jnp.zeros_like(t)
+    draws = 400
+    for i in range(draws):
+        u = jax.random.uniform(jax.random.fold_in(jax.random.PRNGKey(3), i),
+                               table.shape)
+        q, s = quantize_level_q8(table, 0, size, u)
+        acc = acc + q * s
+    err_lsb = jnp.max(jnp.abs(acc / draws - t)) / s_det
+    assert float(err_lsb) < 0.2, float(err_lsb)
+
+
+def test_hash_encode_sr_noise_grad_passthrough(table, cfg):
+    """The sr_noise arg must not change the table gradient (the backward
+    depends only on positions and cotangents) and must accept None."""
+    import atmonr_tpu.models.hash_grid as hg
+
+    x = jax.random.uniform(jax.random.PRNGKey(11), (64, 3))
+    noise = jax.random.uniform(jax.random.PRNGKey(12), table.shape)
+    g0 = jax.grad(lambda t: jnp.sum(hg.hash_encode(t, x, cfg)))(table)
+    g1 = jax.grad(
+        lambda t: jnp.sum(hg.hash_encode(t, x, cfg, False, noise))
+    )(table)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1))

@@ -14,7 +14,9 @@ import time
 import numpy as np
 
 
-def run(name: str, path: str, num_iters: int, n_blobs: int = 1) -> None:
+def run(
+    name: str, path: str, num_iters: int, n_blobs: int = 1, seed: int = 0
+) -> float:
     import jax
     import jax.numpy as jnp
     import optax
@@ -32,7 +34,10 @@ def run(name: str, path: str, num_iters: int, n_blobs: int = 1) -> None:
     )
     ds = HARP2Dataset(cfg["dataset"], granule)
     pipe = get_pipeline(cfg["pipeline"], ds)
-    params = pipe.init_params(jax.random.PRNGKey(0))
+    # seed=0 reproduces the historical fixed-key harness exactly; other
+    # seeds shift all three streams together (docs/performance.md: PSNR at
+    # 3000 iters is stream-layout sensitive, so comparisons must sweep seeds)
+    params = pipe.init_params(jax.random.PRNGKey(1000 * seed))
     opt = pipe.make_optimizer(
         cfg["trainer"]["optimizer"], float(cfg["trainer"]["optimizer"]["lr"])
     )
@@ -57,8 +62,8 @@ def run(name: str, path: str, num_iters: int, n_blobs: int = 1) -> None:
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    key = jax.random.PRNGKey(1)
-    perm = epoch_permutation(jax.random.PRNGKey(2), ds.num_rays, b)
+    key = jax.random.PRNGKey(1000 * seed + 1)
+    perm = epoch_permutation(jax.random.PRNGKey(1000 * seed + 2), ds.num_rays, b)
     # compile outside the timed region
     params, opt_state, loss = step(
         params, opt_state, aux, perm, jnp.asarray(0), key
@@ -97,11 +102,12 @@ def run(name: str, path: str, num_iters: int, n_blobs: int = 1) -> None:
     pred_img = ds.scatter_image(np.concatenate(preds))
     m = image_metrics(pred_img, ds.target_image(), ds.max_i)
     print(
-        f"[{name}] {num_iters} iters in {dt:.1f}s "
+        f"[{name} seed={seed}] {num_iters} iters in {dt:.1f}s "
         f"({num_iters * b / dt:.0f} rays/s) loss={final_loss:.4f} "
         f"PSNR={m['PSNR_mean']:.3f} SSIM={m['SSIM_mean']:.4f}",
         flush=True,
     )
+    return float(m["PSNR_mean"])
 
 
 def main() -> None:
