@@ -104,6 +104,7 @@ class Trainer:
             self.batch_size = len(dataset)
         self.num_iters = int(config["num_iters"])
         self.print_frequency = int(config.get("print_frequency", 10))
+        self.check_numerics = bool(config.get("check_numerics", False))
 
         self.rays = dataset.rays()
         self.num_rays = len(dataset)
@@ -149,7 +150,7 @@ class Trainer:
         # per-epoch saves overlap with the next epoch's compute; train()
         # blocks on the last one before returning (training/checkpoint.py)
         self._ckpt_mgr = ckpt.AsyncCheckpointManager()
-        self._train_step = jax.jit(self._step, donate_argnums=(0,))
+        self._train_step = self._make_train_step()
         # multi-host: one console narrator (logging is gated the same way)
         self._print = print if jax.process_index() == 0 else (lambda *a, **k: None)
 
@@ -185,7 +186,7 @@ class Trainer:
                 )
         self.mesh = mesh
         # re-jit: the step body branches on the installed mesh
-        self._train_step = jax.jit(self._step, donate_argnums=(0,))
+        self._train_step = self._make_train_step()
         if jax.process_count() > 1:
             # multi-host: every process contributes only the rows its
             # addressable devices own (parallel.data); HBM scales 1/hosts
@@ -214,6 +215,31 @@ class Trainer:
         self.state = replicate(self.state, mesh)
 
     # -- the jitted step -----------------------------------------------------
+
+    def _make_train_step(self):
+        """The donated jitted step; ``check_numerics`` runs it under
+        ``checkify`` float checks instead. XLA never traps on NaN/inf — a NaN
+        born in one step silently poisons every later step and surfaces as a
+        flat loss hours later. This debug mode (config
+        ``trainer.check_numerics`` / ``train.py --check-numerics``) makes the
+        first NaN/inf/0-div raise with the producing op's source line, at the
+        cost of a host sync per iteration. The framework's sanitizer story
+        (SURVEY §5): the reference relies on pyright/Ruff only."""
+        if not self.check_numerics:
+            return jax.jit(self._step, donate_argnums=(0,))
+        from jax.experimental import checkify
+
+        checked = jax.jit(
+            checkify.checkify(self._step, errors=checkify.float_checks),
+            donate_argnums=(0,),
+        )
+
+        def step_and_throw(*args):
+            err, out = checked(*args)
+            err.throw()
+            return out
+
+        return step_and_throw
 
     def _step(self, state, rays, perm, step_in_epoch, global_step):
         batch = batching.batch_at_step(
@@ -297,6 +323,15 @@ class Trainer:
         signal.signal(signal.SIGTERM, _on_sigterm)
 
     def train(self, output_path: str | Path, profile: bool = False) -> None:
+        for _ in self.iterate(output_path, profile):
+            pass
+
+    def iterate(self, output_path: str | Path, profile: bool = False):
+        """The training loop as a generator that yields after every
+        dispatched step. ``train()`` just drains it; the multi-granule
+        driver (``training.multi.train_granules``) round-robins several
+        trainers' generators so their steps — compiled for disjoint device
+        groups — overlap via JAX's async dispatch."""
         output_path = Path(output_path)
         output_path.mkdir(parents=True, exist_ok=True)
         running: list[Any] = []
@@ -327,6 +362,7 @@ class Trainer:
                         jax.random.fold_in(self.aux_key, self.iter_count),
                     )
                 running = running[-self.print_frequency :] + [loss]
+                yield self.iter_count
                 if self.iter_count % self.print_frequency == 0:
                     mean_loss = float(jnp.mean(jnp.stack(running)))
                     self.logger.scalar("Loss", mean_loss, self.iter_count)

@@ -2,9 +2,13 @@
 
 CLI-compatible with the reference ``scripts/train.py`` (--exp-name,
 --config-path, --scene-filename, --profile, --overwrite, --resume), with
-additional TPU-scale flags: --mesh for multi-chip ray sharding and
---seed for reproducibility. ``--scene-filename synthetic[:HxWxV]`` runs
-fully offline on a generated granule.
+additional TPU-scale flags: --mesh for multi-chip ray sharding,
+--check-numerics for checkify NaN/inf trapping, and --seed for
+reproducibility. ``--scene-filename synthetic[:HxWxV]`` runs fully offline
+on a generated granule. A comma-separated --scene-filename trains one model
+per granule concurrently, each on its own device group (multi-granule
+pod-scale training, ``training/multi.py``); checkpoints land in
+``<exp>/granule_<g>/`` and extract.py targets them individually.
 """
 
 import argparse
@@ -38,6 +42,13 @@ def parse_args() -> argparse.Namespace:
         help="Multi-host: call jax.distributed.initialize() before backend "
         "init (coordinator/process env via standard JAX env vars); each "
         "host then feeds only its slice of the ray store.",
+    )
+    parser.add_argument(
+        "--check-numerics",
+        action="store_true",
+        help="Debug mode: run the train step under checkify float checks — "
+        "the first NaN/inf/0-div raises with the producing op's source line "
+        "(costs a host sync per iteration).",
     )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--data-root", type=str, default="data")
@@ -75,7 +86,48 @@ def main() -> None:
     config = load_config(args.config_path)
     if args.num_iters is not None:
         config["trainer"]["num_iters"] = args.num_iters
+    if args.check_numerics:
+        config["trainer"]["check_numerics"] = True
     output_path = setup_dir(args, config)
+
+    scenes = [s for s in args.scene_filename.split(",") if s]
+    if len(scenes) > 1:
+        # multi-granule pod training: one model per granule, each compiled
+        # over its own device group and driven concurrently (training/multi)
+        from atmonr_tpu.parallel.mesh import make_mesh_from_spec
+        from atmonr_tpu.training.multi import partition_devices, train_granules
+
+        groups = partition_devices(len(scenes))
+        trainers, out_paths = [], []
+        for g, (scene, group) in enumerate(zip(scenes, groups)):
+            dataset = get_dataset(config["dataset"], scene, args.data_root)
+            pipeline = get_pipeline(config["pipeline"], dataset)
+            trainer = Trainer(
+                config["trainer"],
+                dataset,
+                pipeline,
+                f"{args.exp_name}_granule{g}",
+                data_root=args.data_root,
+                seed=args.seed + g,
+            )
+            if args.mesh:
+                trainer.shard(make_mesh_from_spec(args.mesh, devices=group))
+            elif len(group) > 1:
+                from atmonr_tpu.parallel.mesh import make_mesh
+
+                trainer.shard(make_mesh(devices=group))
+            out = output_path / f"granule_{g}"
+            out.mkdir(parents=True, exist_ok=True)
+            # per-granule args/config so extract.py targets <exp>/granule_<g>
+            sub_args = dict(vars(args), scene_filename=scene)
+            json.dump(sub_args, open(out / "args.json", "w"), indent=4)
+            json.dump(config, open(out / "config.json", "w"), indent=4)
+            if args.resume:
+                trainer.load(out)
+            trainers.append(trainer)
+            out_paths.append(out)
+        train_granules(trainers, out_paths, profile=args.profile)
+        return
 
     dataset = get_dataset(config["dataset"], args.scene_filename, args.data_root)
     pipeline = get_pipeline(config["pipeline"], dataset)

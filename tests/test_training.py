@@ -181,3 +181,21 @@ def test_trainer_loss_decreases(dataset, tmp_path):
         if json.loads(line)["tag"] == "Loss"
     ]
     assert losses[-1] < losses[0]
+
+
+def test_check_numerics_clean_run_and_nan_detection(dataset, tmp_path):
+    """trainer.check_numerics: clean data trains normally; a NaN planted in
+    the ray radiances makes the first step raise (instead of silently
+    poisoning the params, which is what un-checked XLA does)."""
+    from jax.experimental import checkify
+
+    cfg = dict(TRAINER_CONFIG, num_iters=4, check_numerics=True)
+    pipe = get_pipeline(NGP_CONFIG, dataset)
+    trainer = Trainer(cfg, dataset, pipe, "checkify_ok", data_root=tmp_path)
+    trainer.train(tmp_path / "out_ck")  # must not raise
+
+    trainer2 = Trainer(cfg, dataset, pipe, "checkify_nan", data_root=tmp_path)
+    trainer2.rays = dict(trainer2.rays)
+    trainer2.rays["rad"] = trainer2.rays["rad"].at[:].set(jnp.nan)
+    with pytest.raises(checkify.JaxRuntimeError, match="nan"):
+        trainer2.train(tmp_path / "out_ck_nan")
