@@ -71,7 +71,10 @@ def get_dataset(
 ) -> HARP2Dataset:
     """Build the Dataset for ``config["type"]`` and ``filename``."""
     if config["type"] not in DATASETS:
-        raise NotImplementedError(f"Dataset '{config['type']}' is unrecognized!")
+        raise NotImplementedError(
+            f"No dataset registered under {config['type']!r}; "
+            f"known types: {sorted(DATASETS)}"
+        )
     if filename.startswith("synthetic"):
         granule = _synthetic_from_name(filename)
     else:

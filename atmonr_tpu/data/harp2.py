@@ -22,6 +22,96 @@ from atmonr_tpu.geo import wgs84
 
 RAY_CHUNK = int(1e4)
 
+# Views flagged as striped (noticeably fewer valid pixels than average, an
+# L1B sensor artifact) are heavily penalized when ranking candidate views so
+# a clean view always wins over a striped one when both exist.
+STRIPE_PENALTY_DEG = 1000.0
+
+
+def select_rgb_views(
+    view_angles: np.ndarray,
+    valid_counts: np.ndarray,
+    irgb_idx: np.ndarray,
+    *,
+    penalize_striping: bool,
+    mode: str = "nadir",
+) -> list[int]:
+    """Choose one (red, green, blue) view triple for RGB visualization.
+
+    Behavioral parity with the reference's best-view heuristics
+    (reference datasets/harp2.py:126-198), reformulated: a per-view
+    nadir-preference score with a striping penalty, a broadcast spread
+    tensor over red x green x blue angle triples, and ``unravel_index``
+    pair decoding (the reference builds a meshgrid stack and decodes flat
+    argmins with div/mod).
+
+    Args:
+        view_angles: (V,) signed along-track view angles, degrees.
+        valid_counts: (V,) number of non-NaN pixels per view.
+        irgb_idx: (V,) band class per view (0=IR, 1=R, 2=G, 3=B).
+        penalize_striping: detect striped views (valid-pixel count below
+            the mean — only meaningful for L1B granules) and add
+            ``STRIPE_PENALTY_DEG`` to their score.
+        mode: "nadir" picks the most nadir-looking red view; "most_pixels"
+            picks the red view whose matched triple has the largest
+            worst-band valid-pixel count.
+
+    Returns:
+        [red_view, green_view, blue_view] indices into the view axis. When
+        a band has no views the best available view fills all three slots.
+    """
+    striped = np.zeros(view_angles.shape, dtype=bool)
+    if penalize_striping:
+        striped = valid_counts < valid_counts.mean()
+    # lower = better: distance from nadir, with striped views pushed to the
+    # back of the line
+    nadir_score = np.abs(view_angles) + striped * STRIPE_PENALTY_DEG
+
+    views_of = {
+        band: np.flatnonzero(irgb_idx == code)
+        for band, code in (("r", 1), ("g", 2), ("b", 3))
+    }
+
+    if views_of["r"].size == 0:
+        # no red at all: fall back to the single best view of any band
+        best = int(nadir_score.argmin())
+        return [best, best, best]
+    if views_of["g"].size == 0 or views_of["b"].size == 0:
+        # red exists but the triple can't be formed: best red everywhere
+        best = int(views_of["r"][nadir_score[views_of["r"]].argmin()])
+        return [best, best, best]
+
+    # Angular spread of every (r, g, b) candidate triple, by broadcasting:
+    # spread[i, j, k] = max - min over the three view angles. The matched
+    # green/blue pair for each red view is the spread-minimizing (j, k).
+    ar = view_angles[views_of["r"]][:, None, None]
+    ag = view_angles[views_of["g"]][None, :, None]
+    ab = view_angles[views_of["b"]][None, None, :]
+    spread = np.maximum(np.maximum(ar, ag), ab) - np.minimum(
+        np.minimum(ar, ag), ab
+    )
+    n_r = spread.shape[0]
+    flat_best = spread.reshape(n_r, -1).argmin(axis=1)
+    g_pick, b_pick = np.unravel_index(flat_best, spread.shape[1:])
+    green_for = views_of["g"][g_pick]  # (n_r,) matched green per red view
+    blue_for = views_of["b"][b_pick]
+
+    if mode == "nadir":
+        which_red = int(nadir_score[views_of["r"]].argmin())
+    elif mode == "most_pixels":
+        worst_band_pixels = np.minimum(
+            valid_counts[views_of["r"]],
+            np.minimum(valid_counts[green_for], valid_counts[blue_for]),
+        )
+        which_red = int(worst_band_pixels.argmax())
+    else:
+        raise NotImplementedError(f"Unrecognized RGB indexing mode {mode}")
+    return [
+        int(views_of["r"][which_red]),
+        int(green_for[which_red]),
+        int(blue_for[which_red]),
+    ]
+
 
 @dataclass(frozen=True)
 class SceneTransform:
@@ -105,7 +195,13 @@ class HARP2Dataset:
         self.int_arr = pf(granule.i)
         self.max_i = float(np.nanmax(self.int_arr))
 
-        self._init_rgb_idxs(self.config["rgb_mode"])
+        self.best_rgb_idx = select_rgb_views(
+            self.granule.view_angles[self.view_idx],
+            (~np.isnan(self.int_arr)).sum(axis=0),
+            self.irgb_idx,
+            penalize_striping=granule.level == "L1B",
+            mode=self.config["rgb_mode"],
+        )
         if ray_builder is None:
             # the multithreaded C++ builder when built (native/), else the
             # numpy f64 path — both solve origins to the same 10 m tolerance
@@ -118,68 +214,6 @@ class HARP2Dataset:
             )
         self._init_ray_data(chunk_size, ray_builder)
         self._device_rays: dict | None = None
-
-    # -- RGB view selection (parity: reference harp2.py:126-198) ------------
-
-    def _init_rgb_idxs(self, mode: str = "nadir") -> None:
-        angles = self.granule.view_angles[self.view_idx]
-        num_valid = (~np.isnan(self.int_arr)).sum(axis=0)
-        striped = np.zeros_like(num_valid, dtype=bool)
-        if self.granule.level == "L1B":
-            striped = num_valid < num_valid.mean()
-        masks_rgb = [self.irgb_idx == i for i in range(1, 4)]
-        idxs_rgb = [np.where(m)[0] for m in masks_rgb]
-        angles_rgb = [angles[m] for m in masks_rgb]
-
-        if not masks_rgb[0].any():
-            best = int(np.argmin(np.abs(angles) + striped * 1000))
-            self.best_rgb_idx = [best, best, best]
-            return
-        if not masks_rgb[1].any() or not masks_rgb[2].any():
-            best = int(
-                idxs_rgb[0][
-                    np.argmin(np.abs(angles_rgb[0]) + striped[masks_rgb[0]] * 1000)
-                ]
-            )
-            self.best_rgb_idx = [best, best, best]
-            return
-
-        angles_mg = np.stack(np.meshgrid(*angles_rgb, indexing="ij"))
-        angle_ranges = angles_mg.max(axis=0) - angles_mg.min(axis=0)
-        idx_nearest = angle_ranges.reshape((angles_rgb[0].shape[0], -1)).argmin(
-            axis=1
-        )
-        idx_ng = idxs_rgb[1][idx_nearest // angles_rgb[2].shape[0]]
-        idx_nb = idxs_rgb[2][idx_nearest % angles_rgb[2].shape[0]]
-
-        if mode == "nadir":
-            nadir_red = int(
-                np.argmin(np.abs(angles_rgb[0]) + striped[masks_rgb[0]] * 1000)
-            )
-            self.best_rgb_idx = [
-                int(idxs_rgb[0][nadir_red]),
-                int(idx_ng[nadir_red]),
-                int(idx_nb[nadir_red]),
-            ]
-        elif mode == "most_pixels":
-            maximizer = int(
-                np.stack(
-                    [
-                        num_valid[masks_rgb[0]],
-                        num_valid[idx_ng],
-                        num_valid[idx_nb],
-                    ]
-                )
-                .min(axis=0)
-                .argmax(axis=0)
-            )
-            self.best_rgb_idx = [
-                int(idxs_rgb[0][maximizer]),
-                int(idx_ng[maximizer]),
-                int(idx_nb[maximizer]),
-            ]
-        else:
-            raise NotImplementedError(f"Unrecognized RGB indexing mode {mode}")
 
     # -- Ray construction (parity: reference harp2.py:200-257) --------------
 

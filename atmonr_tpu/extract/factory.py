@@ -28,6 +28,7 @@ def get_extract_dataset(
     data_type = dataset.config["type"]
     if data_type not in EXTRACT_DATASETS:
         raise NotImplementedError(
-            f"ExtractDataset data_type '{data_type}' is unrecognized!"
+            f"No extract dataset registered under {data_type!r}; "
+            f"known coord modes: {sorted(EXTRACT_DATASETS)}"
         )
     return EXTRACT_DATASETS[data_type][mode.lower()](dataset, **kwargs)

@@ -16,5 +16,8 @@ def get_pipeline(config: dict, dataset) -> Pipeline:
     """Build the pipeline named by ``config["type"]``."""
     pipeline_type = config["type"]
     if pipeline_type not in _PIPELINES:
-        raise NotImplementedError(f"Pipeline '{pipeline_type}' is unrecognized!")
+        raise NotImplementedError(
+            f"No pipeline registered under {pipeline_type!r}; "
+            f"known types: {sorted(_PIPELINES)}"
+        )
     return _PIPELINES[pipeline_type](config, dataset)

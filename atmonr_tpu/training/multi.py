@@ -79,9 +79,19 @@ def train_granules(
         for g, (t, p) in enumerate(zip(trainers, output_paths))
     ]
     active = list(gens)
-    while active:
-        for gen in list(active):
-            try:
-                next(gen)
-            except StopIteration:
-                active.remove(gen)
+    try:
+        while active:
+            for gen in list(active):
+                try:
+                    next(gen)
+                except StopIteration:
+                    active.remove(gen)
+    finally:
+        # one granule failing (checkify error, OOM) must not leave the
+        # healthy granules' in-flight async checkpoint saves non-durable:
+        # close the surviving generators (runs their epoch-save epilogue's
+        # finally blocks) and block on every trainer's checkpoint manager
+        for gen in active:
+            gen.close()
+        for t in trainers:
+            t._ckpt_mgr.wait()

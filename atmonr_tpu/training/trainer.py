@@ -139,6 +139,10 @@ class Trainer:
             self._aux_update = jax.jit(pipeline.update_aux)
         self.epoch_idx = 0
         self.iter_count = 0
+        # set here (not in iterate()) so a SIGTERM that lands after the
+        # fan-out handler is installed but before this trainer's first step
+        # is preserved rather than silently cleared
+        self._preempted = False
 
         now = datetime.now().strftime("%Y%m%d_%H%M%S")
         self.tensorboard_dir = (
@@ -227,6 +231,16 @@ class Trainer:
         (SURVEY §5): the reference relies on pyright/Ruff only."""
         if not self.check_numerics:
             return jax.jit(self._step, donate_argnums=(0,))
+        if self.mesh is not None:
+            # checkify's error pytree does not transpose through the
+            # shard_map bodies (jit(checkify(step)) fails at trace time on a
+            # sharded mesh); surface that now instead of deep in a pod run
+            raise NotImplementedError(
+                "check_numerics is single-device only for now: checkify "
+                "cannot wrap the shard_map training step. Re-run without "
+                "--mesh to localize the NaN, or without --check-numerics "
+                "to train sharded."
+            )
         from jax.experimental import checkify
 
         checked = jax.jit(
@@ -337,7 +351,6 @@ class Trainer:
         running: list[Any] = []
         last_len = 0
         profiling = False
-        self._preempted = False
         if profile:
             jax.profiler.start_trace(str(self.tensorboard_dir))
             profiling = True

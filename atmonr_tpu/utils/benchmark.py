@@ -15,6 +15,7 @@ iterations until two consecutive blocks' wall times agree within ``tol``.
 
 from __future__ import annotations
 
+import sys
 import time
 from typing import Callable
 
@@ -43,6 +44,12 @@ def warm_until_steady(
             step += 1
         fetch(out)
         dt = time.perf_counter() - t0
+        print(
+            f"[warmup] block ending at step {step}: {dt:.2f}s"
+            f" ({dt / block * 1e3:.1f} ms/iter)",
+            file=sys.stderr,
+            flush=True,
+        )
         if prev is not None and abs(dt - prev) < tol * prev:
             break
         prev = dt

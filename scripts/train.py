@@ -88,9 +88,9 @@ def main() -> None:
         config["trainer"]["num_iters"] = args.num_iters
     if args.check_numerics:
         config["trainer"]["check_numerics"] = True
-    output_path = setup_dir(args, config)
-
     scenes = [s for s in args.scene_filename.split(",") if s]
+    args.scene_filename = ",".join(scenes)  # normalized form into args.json
+    output_path = setup_dir(args, config)
     if len(scenes) > 1:
         # multi-granule pod training: one model per granule, each compiled
         # over its own device group and driven concurrently (training/multi)
@@ -112,7 +112,10 @@ def main() -> None:
             )
             if args.mesh:
                 trainer.shard(make_mesh_from_spec(args.mesh, devices=group))
-            elif len(group) > 1:
+            else:
+                # always shard onto the group — even a one-device group needs
+                # its state/rays placed there, or every granule silently
+                # computes on the default device and the groups never overlap
                 from atmonr_tpu.parallel.mesh import make_mesh
 
                 trainer.shard(make_mesh(devices=group))
@@ -129,7 +132,9 @@ def main() -> None:
         train_granules(trainers, out_paths, profile=args.profile)
         return
 
-    dataset = get_dataset(config["dataset"], args.scene_filename, args.data_root)
+    # scenes[0], not the raw flag: a stray trailing comma ("a.nc,") must not
+    # reach the dataset reader as part of the filename
+    dataset = get_dataset(config["dataset"], scenes[0], args.data_root)
     pipeline = get_pipeline(config["pipeline"], dataset)
     trainer = Trainer(
         config["trainer"],

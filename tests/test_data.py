@@ -163,3 +163,72 @@ def test_sequential_indices_cover_everything(dataset):
     mask = batching.valid_mask(n, bs)
     covered = np.asarray(idx)[np.asarray(mask)]
     assert (covered == np.arange(n)).all()
+
+
+# -- RGB view selection ------------------------------------------------------
+
+
+def _oracle_rgb_views(angles, counts, irgb, striped, mode):
+    """Brute-force oracle: enumerate every (r, g, b) triple."""
+    score = np.abs(angles) + striped * 1000.0
+    reds = [i for i in range(len(angles)) if irgb[i] == 1]
+    greens = [i for i in range(len(angles)) if irgb[i] == 2]
+    blues = [i for i in range(len(angles)) if irgb[i] == 3]
+    if not reds:
+        best = int(np.argmin(score))
+        return [best, best, best]
+    if not greens or not blues:
+        best = min(reds, key=lambda i: score[i])
+        return [best, best, best]
+    pair_for = {}
+    for r in reds:
+        pair_for[r] = min(
+            ((g, b) for g in greens for b in blues),
+            key=lambda gb: max(angles[r], angles[gb[0]], angles[gb[1]])
+            - min(angles[r], angles[gb[0]], angles[gb[1]]),
+        )
+    if mode == "nadir":
+        r = min(reds, key=lambda i: score[i])
+    else:  # most_pixels
+        r = max(
+            reds,
+            key=lambda i: min(
+                counts[i], counts[pair_for[i][0]], counts[pair_for[i][1]]
+            ),
+        )
+    return [r, pair_for[r][0], pair_for[r][1]]
+
+
+@pytest.mark.parametrize("mode", ["nadir", "most_pixels"])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_select_rgb_views_matches_oracle(mode, seed):
+    from atmonr_tpu.data.harp2 import select_rgb_views
+
+    rng = np.random.RandomState(seed)
+    n = 12
+    angles = rng.uniform(-60, 60, n)
+    counts = rng.randint(10, 1000, n)
+    irgb = rng.randint(0, 4, n)
+    striped = counts < counts.mean()
+    got = select_rgb_views(
+        angles, counts, irgb, penalize_striping=True, mode=mode
+    )
+    want = _oracle_rgb_views(angles, counts, irgb, striped, mode)
+    assert got == want
+
+
+def test_select_rgb_views_degenerate_bands():
+    from atmonr_tpu.data.harp2 import select_rgb_views
+
+    angles = np.array([-30.0, 5.0, 40.0])
+    counts = np.array([100, 100, 100])
+    # no red views at all -> best overall view three times
+    got = select_rgb_views(
+        angles, counts, np.array([0, 2, 3]), penalize_striping=False
+    )
+    assert got == [1, 1, 1]
+    # red but no blue -> best red three times
+    got = select_rgb_views(
+        angles, counts, np.array([1, 1, 2]), penalize_striping=False
+    )
+    assert got == [1, 1, 1]

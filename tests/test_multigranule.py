@@ -66,3 +66,21 @@ def test_train_granules_concurrent(tmp_path):
     w0 = np.asarray(trainers[0].state["params"]["pos_table"])
     w1 = np.asarray(trainers[1].state["params"]["pos_table"])
     assert not np.allclose(w0, w1)
+
+
+def test_single_device_group_placement(tmp_path):
+    """A one-device group must still be sharded onto ITS device — otherwise
+    all granules land on the default device and never overlap (advisor
+    finding r1)."""
+    target = jax.devices()[3]
+    granule = make_synthetic_granule(height=8, width=8, views_per_band=2)
+    ds = HARP2Dataset(DATASET_CONFIG, granule)
+    pipe = get_pipeline(NGP_CONFIG, ds)
+    t = Trainer(dict(TRAINER_CONFIG, num_iters=2), ds, pipe, "sg", data_root=tmp_path)
+    t.shard(make_mesh(devices=[target]))
+    for arr in jax.tree.leaves(t.rays):
+        assert arr.devices() == {target}
+    for arr in jax.tree.leaves(t.state["params"]):
+        assert arr.devices() == {target}
+    t.train(tmp_path / "out")
+    assert t.iter_count == t.num_iters

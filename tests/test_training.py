@@ -199,3 +199,15 @@ def test_check_numerics_clean_run_and_nan_detection(dataset, tmp_path):
     trainer2.rays["rad"] = trainer2.rays["rad"].at[:].set(jnp.nan)
     with pytest.raises(checkify.JaxRuntimeError, match="nan"):
         trainer2.train(tmp_path / "out_ck_nan")
+
+
+def test_check_numerics_rejects_mesh(dataset, tmp_path):
+    """checkify cannot wrap the shard_map step; the combination must fail
+    loudly at setup, not at trace time deep in a pod run (advisor r1)."""
+    from atmonr_tpu.parallel.mesh import make_mesh
+
+    pipe = get_pipeline(NGP_CONFIG, dataset)
+    cfg = dict(TRAINER_CONFIG, num_iters=2, check_numerics=True)
+    t = Trainer(cfg, dataset, pipe, "cn_mesh", data_root=tmp_path)
+    with pytest.raises(NotImplementedError, match="single-device"):
+        t.shard(make_mesh(data=2))
