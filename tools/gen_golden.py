@@ -362,6 +362,7 @@ def main():
     gen_render(torch, graphics_utils, samplers, losses, encoders)
     gen_nerf_mlp(torch, nerf_models, encoders)
     gen_nerf_pipeline(torch)
+    gen_ngp_pipeline(torch)
     gen_dataset_and_voxelgrid(torch)
 
 
@@ -461,5 +462,201 @@ def gen_nerf_pipeline(torch):
     print("wrote nerf_pipeline.npz")
 
 
+
+
+def gen_ngp_pipeline(torch):
+    """Record Instant-NGP pipeline-level goldens from a torch CPU oracle.
+
+    tiny-cuda-nn needs CUDA, so the reference InstantNGPPipeline cannot run
+    here; instead this oracle implements the tcnn module semantics
+    (multiresolution HashGrid per Mueller et al. 2022 Sec. 3 + bias-free
+    narrow ReLU MLPs + real-SH basis) in plain torch, and reuses the
+    reference's OWN torch code for everything that exists outside tcnn:
+    ``sample_uniform_bins(random=False)``, ``render_with_surface``, and
+    ``mse_plus_hdr_loss`` (reference instant_ngp.py:129-206 structure).
+    torch.autograd then yields loss gradients for every parameter tensor —
+    the NGP analog of the hierarchical-NeRF 44-tensor gradient gate.
+    """
+    from atmonr import graphics_utils, losses
+    from atmonr import samplers as ref_samplers
+
+    PRIMES = (1, 2654435761, 805459861)
+
+    class HashLevels:
+        """tcnn HashGrid semantics: per-level D-linear interp of features at
+        grid corners, dense indexing when the level fits, spatial-hash
+        indexing otherwise; level sizes 8-aligned; corner order x-fastest."""
+
+        def __init__(self, n_dims, n_levels, n_feats, log2_size, base_res, growth):
+            self.n_dims, self.n_levels, self.n_feats = n_dims, n_levels, n_feats
+            self.hashmap_size = 1 << log2_size
+            self.scales = [
+                float(np.exp2(lv * np.log2(growth)) * base_res - 1.0)
+                for lv in range(n_levels)
+            ]
+            self.res = [int(np.ceil(s)) + 1 for s in self.scales]
+            align = lambda n: -(-n // 8) * 8  # noqa: E731
+            self.sizes = [
+                align(min(r**n_dims, self.hashmap_size)) for r in self.res
+            ]
+            self.offsets = np.concatenate([[0], np.cumsum(self.sizes)[:-1]])
+            self.total = int(np.sum(self.sizes))
+            corners = np.stack(
+                np.meshgrid(*([np.arange(2)] * n_dims), indexing="ij"), axis=-1
+            ).reshape(-1, n_dims)[:, ::-1]
+            self.corners = torch.from_numpy(corners.copy()).long()
+
+        def encode(self, table, x):
+            outs = []
+            for lv in range(self.n_levels):
+                pos = x.float() * self.scales[lv] + 0.5
+                grid = torch.floor(pos)
+                frac = pos - grid
+                base = grid.long().clamp(0, self.res[lv] - 2)
+                g = base[:, None, :] + self.corners[None]
+                if self.res[lv] ** self.n_dims <= self.sizes[lv]:
+                    stride = 1
+                    idx = torch.zeros(g.shape[:2], dtype=torch.long)
+                    for d in range(self.n_dims):
+                        idx = idx + g[..., d] * stride
+                        stride *= self.res[lv]
+                else:
+                    acc = (g[..., 0].numpy().astype(np.uint32)) * np.uint32(
+                        PRIMES[0]
+                    )
+                    for d in range(1, self.n_dims):
+                        acc = acc ^ (
+                            g[..., d].numpy().astype(np.uint32)
+                            * np.uint32(PRIMES[d])
+                        )
+                    idx = torch.from_numpy(
+                        (acc & np.uint32(self.hashmap_size - 1)).astype(np.int64)
+                    )
+                w = torch.where(
+                    self.corners[None] == 1, frac[:, None, :], 1 - frac[:, None, :]
+                ).prod(dim=-1)
+                feats = table[int(self.offsets[lv]) + idx]
+                outs.append((feats * w[..., None]).sum(dim=1))
+            return torch.cat(outs, dim=-1)
+
+    def sh2(v):
+        v = v * 2.0 - 1.0  # tcnn treats inputs as [0,1]-scaled
+        x, y, z = v[..., 0], v[..., 1], v[..., 2]
+        return torch.stack(
+            [
+                torch.full_like(x, 0.28209479177387814),
+                -0.48860251190291987 * y,
+                0.48860251190291992 * z,
+                -0.48860251190291987 * x,
+            ],
+            dim=-1,
+        )
+
+    def mlp(layers, x):
+        for i, w in enumerate(layers):
+            x = x @ w.T
+            if i < len(layers) - 1:
+                x = torch.relu(x)
+        return x
+
+    # -- scene + config (small but non-degenerate) ---------------------------
+    NUM_BANDS, N_SAMPLES, B = 4, 16, 24
+    SCALE, ALT_COMPRESS = 150000.0, 8.0
+    MAX_I = 2.5
+    pos_h = HashLevels(3, n_levels=4, n_feats=2, log2_size=8, base_res=4, growth=1.5)
+    surf_h = HashLevels(2, n_levels=3, n_feats=2, log2_size=7, base_res=4, growth=1.5)
+
+    g = torch.Generator().manual_seed(33)
+    t_rand = lambda *s: torch.rand(*s, generator=g)  # noqa: E731
+
+    def rand_mlp(in_dim, out_dim, n_neurons, n_hidden):
+        dims = [(n_neurons, in_dim)]
+        dims += [(n_neurons, n_neurons)] * n_hidden
+        dims.append((out_dim, n_neurons))
+        return [
+            ((t_rand(o, i) * 2 - 1) * (6.0 / (i + o)) ** 0.5).requires_grad_()
+            for o, i in dims
+        ]
+
+    pos_table = ((t_rand(pos_h.total, 2) * 2 - 1) * 1e-4).requires_grad_()
+    surf_table = ((t_rand(surf_h.total, 2) * 2 - 1) * 1e-4).requires_grad_()
+    POS_OUT, ND = 16, 1
+    pos_mlp = rand_mlp(pos_h.n_levels * 2, POS_OUT, 32, 1)
+    dir_mlp = rand_mlp(4 + (POS_OUT - ND), NUM_BANDS, 32, 2)
+    surf_mlp = rand_mlp(surf_h.n_levels * 2 + 4, NUM_BANDS, 32, 2)
+
+    origin = t_rand(B, 3) * 1.2 - 0.6
+    direction = torch.nn.functional.normalize(t_rand(B, 3) - 0.5, dim=-1)
+    ray_len = t_rand(B) * 0.8 + 0.6
+    rad = t_rand(B, NUM_BANDS) * MAX_I
+    irgb_idx = torch.arange(B) % NUM_BANDS
+    batch = {
+        "origin": origin,
+        "dir": direction,
+        "len": ray_len,
+        "rad": rad.gather(1, irgb_idx[:, None])[:, 0],
+        "irgb_idx": irgb_idx,
+    }
+
+    # -- forward, reference instant_ngp.py:129-206 structure -----------------
+    pts, z_vals = ref_samplers.sample_uniform_bins(batch, N_SAMPLES, random=False)
+    pts_surf = (origin + direction * ray_len[:, None] + 1.0) / 2.0
+    unit = (pts + 1.0) / 2.0
+    hash_in = torch.cat(
+        [unit[..., :2], unit[..., 2:] / ALT_COMPRESS], dim=-1
+    ).reshape(B * N_SAMPLES, 3)
+
+    pos_out = mlp(pos_mlp, pos_h.encode(pos_table, hash_in))
+    dirs = direction[:, None].expand(B, N_SAMPLES, 3).reshape(-1, 3)
+    dir_in = torch.cat([sh2(dirs), pos_out[:, ND:]], dim=1)
+    color = mlp(dir_mlp, dir_in).reshape(B, N_SAMPLES, NUM_BANDS)
+    surf_in = torch.cat(
+        [surf_h.encode(surf_table, pts_surf[:, :2]), sh2(direction)], dim=1
+    )
+    color_surf = mlp(surf_mlp, surf_in)
+    sigma = pos_out[:, :ND].reshape(B, N_SAMPLES, ND)
+
+    color, color_surf, sigma = map(torch.relu, (color, color_surf, sigma))
+    color_map, _, weights, color_map_atmo, color_map_surf = (
+        graphics_utils.render_with_surface(
+            z_vals * (SCALE / 1000.0), color, sigma, color_surf
+        )
+    )
+    pred = color_map.gather(1, irgb_idx[:, None])[:, 0]
+    loss = losses.mse_plus_hdr_loss(pred, batch["rad"], MAX_I)
+    loss.backward()
+
+    out = {
+        "origin": origin,
+        "dir": direction,
+        "len": ray_len,
+        "rad": batch["rad"],
+        "irgb_idx": irgb_idx,
+        "scale": np.float64(SCALE),
+        "max_i": np.float64(MAX_I),
+        "pos_table": pos_table.detach(),
+        "surf_table": surf_table.detach(),
+        "color_map_fine": color_map.detach(),
+        "color_map_surf": color_map_surf.detach(),
+        "color_map_atmo": color_map_atmo.detach(),
+        "weights_fine": weights.detach(),
+        "z_vals_fine": z_vals,
+        "loss": loss.detach(),
+        "grad_pos_table": pos_table.grad,
+        "grad_surf_table": surf_table.grad,
+    }
+    for name, layers in [
+        ("pos_mlp", pos_mlp),
+        ("dir_mlp", dir_mlp),
+        ("surf_mlp", surf_mlp),
+    ]:
+        for i, w in enumerate(layers):
+            out[f"w_{name}_{i}"] = w.detach()
+            out[f"grad_{name}_{i}"] = w.grad
+    np.savez(
+        GOLDEN / "ngp_pipeline.npz",
+        **{k: np.asarray(v) for k, v in out.items()},
+    )
+    print("ngp_pipeline.npz:", len(out), "tensors")
 if __name__ == "__main__":
     main()
