@@ -56,6 +56,13 @@ def _read_var(f, path: str) -> np.ndarray:
     mask = np.zeros(arr.shape, dtype=bool)
     if fill is not None:
         mask |= arr == np.asarray(fill).ravel()[0]
+    # valid range applies to the raw (packed) values, netCDF4 semantics
+    vmin = attrs.get("valid_min")
+    vmax = attrs.get("valid_max")
+    if vmin is not None:
+        mask |= arr < np.asarray(vmin).ravel()[0]
+    if vmax is not None:
+        mask |= arr > np.asarray(vmax).ravel()[0]
     arr = arr.astype(np.float64)
     scale = attrs.get("scale_factor")
     offset = attrs.get("add_offset")

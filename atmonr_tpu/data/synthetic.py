@@ -211,3 +211,142 @@ def write_synthetic_earthcare(
             ds.attrs["long_name"] = name.encode()
             ds.attrs["comment"] = b"synthetic test track"
             ds.attrs["_FillValue"] = np.array([-9999.0])
+
+
+def write_granule_l1b_real_schema(
+    path: str | Path,
+    height: int = 16,
+    width: int = 10,
+    seed: int = 0,
+) -> None:
+    """Write a synthetic granule in the REAL PACE_HARP2 L1B file schema.
+
+    Unlike ``write_granule_l1b`` (minimal layout for fast unit tests), this
+    mirrors the OB.DAAC product structure the reference reader consumes
+    (reference datasets/harp2.py:59-124, 461-501): the real view complement
+    (90 views: 60 red, 10 each IR/green/blue, interleaved), named netCDF-4
+    dimension scales (``number_of_views``/``bins_along_track``/
+    ``pixels_across_track``), float32 variables carrying ``_FillValue``
+    -999.0 + ``valid_min``/``valid_max`` + ``units``/``long_name`` attrs,
+    fill-coded invalid pixels, striped red views (reduced valid-pixel
+    count), and the root attribute set (instrument/platform/
+    processing_level/product_name). Swap in a cropped real granule when
+    network access exists; until then this is the reader's contract test.
+    """
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    FILL = np.float32(-999.0)
+
+    # real HARP2 view complement, interleaved along the view axis the way
+    # the instrument tables are (band of each view, 90 entries)
+    bands = np.concatenate(
+        [np.full(60, 1), np.full(10, 0), np.full(10, 2), np.full(10, 3)]
+    )
+    rng.shuffle(bands)
+    n_views = bands.size
+    spread = {0: 55.0, 1: 57.0, 2: 55.0, 3: 55.0}
+    view_angles = np.empty(n_views)
+    for b in range(4):
+        m = bands == b
+        view_angles[m] = np.linspace(-spread[b], spread[b], m.sum())
+    wavelengths = np.array([BAND_WAVELENGTHS[b] for b in bands])
+
+    lat_1d = 18.0 + np.arange(height) * 0.02
+    lon_1d = -42.0 + np.arange(width) * 0.02
+    lat2, lon2 = np.meshgrid(lat_1d, lon_1d, indexing="ij")
+    lat = lat2 + rng.normal(scale=1e-4, size=(n_views, height, width))
+    lon = lon2 + rng.normal(scale=1e-4, size=(n_views, height, width))
+    alt = np.abs(rng.normal(scale=30.0, size=lat.shape))
+    thetav = np.abs(view_angles)[:, None, None] * np.ones((1, height, width))
+    phiv = np.where(view_angles < 0, 260.0, 80.0)[:, None, None] * np.ones(
+        (1, height, width)
+    )
+
+    # radiance: smooth cloud + per-band surface term + sensor noise
+    yy, xx = np.meshgrid(
+        np.linspace(-1, 1, height), np.linspace(-1, 1, width), indexing="ij"
+    )
+    cloud = np.exp(-((yy**2 + xx**2) / 0.18))
+    i_rad = (
+        0.3
+        + 0.1 * bands[:, None, None]
+        + cloud[None] * (1.2 - 0.05 * bands[:, None, None])
+        + rng.normal(scale=0.01, size=(n_views, height, width))
+    ).astype(np.float32)
+
+    # invalid pixels: swath-edge fill, plus striped red views (every other
+    # along-track row invalid — the artifact the rgb selection must dodge)
+    i_rad[:, :, 0] = FILL
+    striped_views = np.flatnonzero(bands == 1)[:3]
+    i_rad[striped_views, ::2, :] = FILL
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with h5py.File(path, "w") as f:
+        f.attrs["title"] = "HARP2 Level-1B Data"
+        f.attrs["instrument"] = "HARP2"
+        f.attrs["platform"] = "PACE"
+        f.attrs["processing_level"] = "L1B"
+        f.attrs["product_name"] = path.name
+        f.attrs["date_created"] = "2026-01-01T00:00:00Z"
+
+        def make_dim(name, n):
+            d = f.create_dataset(name, data=np.arange(n, dtype=np.int32))
+            d.make_scale(name)
+            return d
+
+        dims = [
+            make_dim("number_of_views", n_views),
+            make_dim("bins_along_track", height),
+            make_dim("pixels_across_track", width),
+        ]
+
+        def write_var(group, name, arr, units, long_name, vmin, vmax):
+            arr = np.asarray(arr, np.float32)
+            ds = group.create_dataset(name, data=arr)
+            ds.attrs["_FillValue"] = FILL
+            ds.attrs["valid_min"] = np.float32(vmin)
+            ds.attrs["valid_max"] = np.float32(vmax)
+            ds.attrs["units"] = units
+            ds.attrs["long_name"] = long_name
+            for axis in range(arr.ndim):
+                ds.dims[axis].attach_scale(dims[axis + (3 - arr.ndim)])
+            return ds
+
+        geo = f.create_group("geolocation_data")
+        write_var(geo, "latitude", lat, "degrees_north", "Latitude", -90, 90)
+        write_var(geo, "longitude", lon, "degrees_east", "Longitude", -180, 180)
+        write_var(
+            geo, "surface_altitude", alt, "m", "Terrain height", -1000, 10000
+        )
+        write_var(
+            geo, "sensor_zenith_angle", thetav, "degrees", "Sensor zenith", 0, 90
+        )
+        write_var(
+            geo,
+            "sensor_azimuth_angle",
+            phiv,
+            "degrees",
+            "Sensor azimuth",
+            -180,
+            360,
+        )
+        obs = f.create_group("observation_data")
+        write_var(
+            obs, "i", i_rad, "W.m-2.sr-1.um-1", "I Stokes vector component",
+            0, 800,
+        )
+        svb = f.create_group("sensor_views_bands")
+        sv = svb.create_dataset(
+            "sensor_view_angle", data=view_angles.astype(np.float32)
+        )
+        sv.attrs["_FillValue"] = FILL
+        sv.attrs["units"] = "degrees"
+        sv.dims[0].attach_scale(dims[0])
+        wl = svb.create_dataset(
+            "intensity_wavelength", data=wavelengths.astype(np.float32)
+        )
+        wl.attrs["_FillValue"] = FILL
+        wl.attrs["units"] = "nm"
+        wl.dims[0].attach_scale(dims[0])

@@ -1,0 +1,158 @@
+"""End-to-end CLI smoke: the reference's full user journey in one breath —
+``train.py`` (tiny synthetic granule) -> ``extract.py`` (l1c + globalgrid)
+-> ``make_video.py --renderer internal`` — run as real subprocesses, with
+artifact existence + finiteness asserts (reference scripts/train.py:89-108,
+extract.py:152-211, make_video.py). Plus a subprocess-mock test of the
+vdb_render/ffmpeg orchestration that the environment's missing OpenVDB
+binary otherwise leaves unexercised.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _run_cli(script: str, *args: str, cwd: Path) -> None:
+    env = dict(
+        os.environ,
+        PYTHONPATH=str(REPO),
+        JAX_PLATFORMS="cpu",
+    )
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / script), *args],
+        env=env,
+        cwd=cwd,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"{script} failed:\nstdout:\n{proc.stdout[-3000:]}\n"
+        f"stderr:\n{proc.stderr[-3000:]}"
+    )
+
+
+@pytest.mark.slow
+def test_train_extract_video_journey(tmp_path):
+    data_root = tmp_path / "data"
+    _run_cli(
+        "train.py",
+        "--exp-name", "e2e",
+        "--config-path", str(REPO / "configs" / "instant_ngp_tpu.json"),
+        "--scene-filename", "synthetic:16x8x2",
+        "--num-iters", "4",
+        "--overwrite",
+        "--data-root", str(data_root),
+        cwd=tmp_path,
+    )
+    out_dir = data_root / "output" / "e2e"
+    assert (out_dir / "args.json").exists()
+    assert (out_dir / "config.json").exists()
+    assert any(p.name.startswith("epoch_") for p in out_dir.iterdir())
+
+    import h5py
+
+    for coord_mode, fname in [("l1c", "e2e_l1c.nc"), ("globalgrid", "e2e_gg.npy")]:
+        _run_cli(
+            "extract.py",
+            "--exp-name", "e2e",
+            "--coord-mode", coord_mode,
+            "--extract-filename", str(tmp_path / fname),
+            "--data-root", str(data_root),
+            # coarse grids keep the CPU run to seconds
+            "--alt-step", "4000",
+            "--grid-res", "0.1",
+            cwd=tmp_path,
+        )
+    sigma_l1c = None
+    with h5py.File(tmp_path / "e2e_l1c.nc", "r") as f:
+        for name in f:
+            if "sigma" in name.lower() or "extinct" in name.lower():
+                sigma_l1c = np.asarray(f[name])
+    assert sigma_l1c is not None and np.isfinite(sigma_l1c).all()
+    # globalgrid dumps .npy when OpenVDB is absent (reference fallback)
+    gg = np.load(tmp_path / "e2e_gg.npy")
+    assert gg.ndim == 3 and np.isfinite(gg).all()
+
+    _run_cli(
+        "make_video.py",
+        "--extract-filepath", str(tmp_path / "e2e_l1c.nc"),
+        "--vdb-filepath", str(tmp_path / "e2e.vdb"),
+        "--video-filepath", str(tmp_path / "e2e.mp4"),
+        "--renderer", "internal",
+        "--res", "64x48",
+        "--duration", "0.1",
+        "--frame-rate", "20",
+        cwd=tmp_path,
+    )
+    video = tmp_path / "e2e.mp4"
+    frames = sorted((tmp_path / "_temp_frames").glob("*.ppm"))
+    # with ffmpeg present the mp4 exists; without it the frames remain
+    assert video.exists() or len(frames) == 2
+    if frames:
+        assert frames[0].stat().st_size > 0
+
+
+def test_make_video_vdb_orchestration(tmp_path, monkeypatch):
+    """The vdb_render + ffmpeg subprocess orchestration, with both binaries
+    and the OpenVDB module mocked out (neither exists in this environment)."""
+    import types
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    try:
+        import make_video
+    finally:
+        sys.path.pop(0)
+
+    written = {}
+
+    class FakeGrid:
+        def copyFromArray(self, arr):
+            written["shape"] = arr.shape
+
+    fake_vdb = types.SimpleNamespace(
+        FloatGrid=FakeGrid,
+        write=lambda path, grids: written.setdefault("vdb_path", path),
+    )
+    monkeypatch.setitem(sys.modules, "pyopenvdb", fake_vdb)
+
+    calls = []
+    monkeypatch.setattr(
+        make_video.subprocess,
+        "run",
+        lambda cmd, **kw: calls.append(cmd),
+    )
+    monkeypatch.setattr(
+        make_video.shutil, "which", lambda name: f"/usr/bin/{name}"
+    )
+
+    class Args:
+        vdb_filepath = str(tmp_path / "t.vdb")
+        res = [64, 48]
+        absorb = (0.1, 0.1, 0.1)
+        cutoff = 0.01
+        light_source_dir = (0.0, 1.0, 0.0)
+        light_source_color = (1.0, 1.0, 1.0)
+        scatter = (0.7, 0.7, 0.7)
+        duration = 0.2
+        frame_rate = 10
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("_temp_frames", exist_ok=True)
+    sigma = np.random.RandomState(0).rand(6, 5, 4).astype(np.float32)
+    make_video._render_frames_vdb(Args(), sigma, scene_scale=100000.0)
+
+    assert written["vdb_path"] == Args.vdb_filepath
+    assert written["shape"] == sigma.shape
+    assert len(calls) == 2  # duration * frame_rate frames
+    for i, cmd in enumerate(calls):
+        assert cmd[0] == "vdb_render"
+        assert cmd[1] == Args.vdb_filepath
+        assert cmd[2] == f"_temp_frames/{i:06d}.ppm"
+        assert "-res" in cmd and cmd[cmd.index("-res") + 1] == "64x48"

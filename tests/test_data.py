@@ -232,3 +232,69 @@ def test_select_rgb_views_degenerate_bands():
         angles, counts, np.array([1, 1, 2]), penalize_striping=False
     )
     assert got == [1, 1, 1]
+
+
+# -- real-schema L1B fixture ---------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def real_schema_path(tmp_path_factory):
+    from atmonr_tpu.data.synthetic import write_granule_l1b_real_schema
+
+    path = tmp_path_factory.mktemp("l1b") / "PACE_HARP2.20260101T000000.L1B.nc"
+    write_granule_l1b_real_schema(path)
+    return path
+
+
+def test_real_schema_reader(real_schema_path):
+    """The reader against the full OB.DAAC-style PACE_HARP2 L1B schema:
+    90-view complement, dimension scales, fill values, valid ranges."""
+    g = read_granule(real_schema_path)
+    assert g.level == "L1B"
+    assert g.i.shape == (90, 16, 10)
+    assert g.view_angles.shape == (90,) and g.wavelengths.shape == (90,)
+    # fill-coded pixels surface as NaN (across-track edge is fully filled)
+    assert np.isnan(g.i[:, :, 0]).all()
+    assert not np.isnan(g.lat).any()
+    # the real view complement: 60 red, 10 each IR/green/blue
+    _, irgb_all = get_indexes(g, 90.0)
+    counts = dict(zip(*np.unique(irgb_all, return_counts=True)))
+    assert counts == {0: 10, 1: 60, 2: 10, 3: 10}
+
+
+def test_real_schema_dataset_dodges_striped_views(real_schema_path):
+    g = read_granule(real_schema_path)
+    ds = HARP2Dataset(dict(CONFIG, max_abs_view_angle=60.0), g)
+    # striped views (half their pixels fill-coded) must lose the rgb pick
+    num_valid = (~np.isnan(ds.int_arr)).sum(axis=0)
+    striped = num_valid < num_valid.mean()
+    red = ds.best_rgb_idx[0]
+    assert ds.irgb_idx[red] == 1 and not striped[red]
+    # full ray build sane on the 90-view set
+    assert ds.num_rays > 0
+    assert np.isfinite(ds.ray_origin_norm).all()
+    assert np.isfinite(ds.ray_rad).all()
+
+
+def test_read_var_scale_offset_and_valid_range(tmp_path):
+    """netCDF4 unpacking semantics on the h5py path: scale_factor/add_offset
+    applied, _FillValue and out-of-valid-range raw values -> NaN."""
+    import h5py
+
+    from atmonr_tpu.data.granule import _read_var
+
+    p = tmp_path / "packed.nc"
+    raw = np.array([[0, 100, -32767, 30000, -5]], dtype=np.int16)
+    with h5py.File(p, "w") as f:
+        ds = f.create_dataset("x", data=raw)
+        ds.attrs["_FillValue"] = np.int16(-32767)
+        ds.attrs["valid_min"] = np.int16(0)
+        ds.attrs["valid_max"] = np.int16(20000)
+        ds.attrs["scale_factor"] = np.float32(0.01)
+        ds.attrs["add_offset"] = np.float32(5.0)
+    with h5py.File(p, "r") as f:
+        out = _read_var(f, "x")
+    np.testing.assert_allclose(out[0, :2], [5.0, 6.0])
+    assert np.isnan(out[0, 2])  # fill
+    assert np.isnan(out[0, 3])  # > valid_max
+    assert np.isnan(out[0, 4])  # < valid_min
