@@ -28,12 +28,15 @@ def warm_until_steady(
     block: int = 50,
     tol: float = 0.05,
     max_iters: int = 1200,
+    on_block: Callable[[int, float], None] | None = None,
 ) -> int:
     """Run ``one_iter(step)`` in ``block``-sized chunks until the wall time
     of two consecutive chunks agrees within ``tol`` (or ``max_iters`` is
     reached). ``fetch`` must force the returned value (e.g. ``float`` on a
-    loss) so the block boundary is a real sync point. Returns the next step
-    index."""
+    loss) so the block boundary is a real sync point. ``on_block(n_iters,
+    seconds)`` fires after every chunk — bench.py uses it to keep an
+    improving provisional result on stdout in case the driver's window
+    expires mid-warmup. Returns the next step index."""
     step = start_step
     prev = None
     out = None
@@ -50,6 +53,8 @@ def warm_until_steady(
             file=sys.stderr,
             flush=True,
         )
+        if on_block is not None:
+            on_block(block, dt)
         if prev is not None and abs(dt - prev) < tol * prev:
             break
         prev = dt

@@ -19,3 +19,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA:CPU compilation cache: the suite is compile-dominated
+# (dozens of jitted programs; shard_map parity tests cost 30-90 s each
+# cold), and cache keys include source line numbers, so entries invalidate
+# precisely when the traced code changes. A committed warm cache makes an
+# unchanged checkout's suite minutes faster; after edits the affected
+# programs just recompile.
+from atmonr_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache(cache_dir=str(__import__("pathlib").Path(__file__).parent.parent / ".jax_cache_cpu"))

@@ -28,6 +28,7 @@ def test_partition_devices():
     assert [len(g) for g in lone] == [1, 1, 1]
 
 
+@pytest.mark.slow
 def test_train_granules_concurrent(tmp_path):
     """Two granules (different synthetic scenes), each sharded data=2 over
     its own 4-device group: both train, checkpoint, and learn *different*

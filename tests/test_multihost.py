@@ -9,9 +9,12 @@ distributed backend is green-field vs the single-GPU reference.
 """
 
 import subprocess
+
+import pytest
 import sys
 
 
+@pytest.mark.slow
 def test_multihost_two_processes():
     # The coordination-service barrier can time out when the machine is
     # heavily loaded (e.g. the full suite + a TPU bench in parallel); that is

@@ -61,6 +61,7 @@ def dataset():
     return HARP2Dataset(DATASET_CONFIG, granule)
 
 
+@pytest.mark.slow
 def test_ngp_sample_sharded_forward_matches_unsharded(dataset):
     """Deterministic (midpoint) forward: sharded == single-device bitmath."""
     mesh = make_mesh(data=2, sample=4)
@@ -89,6 +90,7 @@ def test_ngp_sample_sharded_forward_matches_unsharded(dataset):
         )
 
 
+@pytest.mark.slow
 def test_ngp_occupancy_sharded_forward_matches_unsharded(dataset):
     """Occupancy-grid sampling: sharded == single-device (z placement runs
     outside the shard_map, so the deterministic paths match exactly)."""
@@ -233,6 +235,7 @@ def test_trainer_shard_runs(dataset, tmp_path):
     assert trainer.iter_count == 4
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("config_name", ["ngp", "nerf"])
 def test_data_sharded_forward_loss_matches_unsharded(dataset, config_name):
     """The generic data-only shard_map path (the Trainer's multi-chip route

@@ -183,6 +183,7 @@ def test_trainer_loss_decreases(dataset, tmp_path):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_check_numerics_clean_run_and_nan_detection(dataset, tmp_path):
     """trainer.check_numerics: clean data trains normally; a NaN planted in
     the ray radiances makes the first step raise (instead of silently

@@ -15,8 +15,22 @@ import numpy as np
 
 
 def run(
-    name: str, path: str, num_iters: int, n_blobs: int = 1, seed: int = 0
-) -> float:
+    name: str,
+    path: str,
+    num_iters: int,
+    n_blobs: int = 1,
+    seed: int = 0,
+    seconds: float | None = None,
+) -> dict:
+    """Train one variant and score deterministic PSNR/SSIM.
+
+    ``seconds`` switches from matched-iterations to MATCHED WALL-CLOCK:
+    training stops at the first block boundary past the budget (compile
+    excluded), so variants with different step costs are compared on equal
+    chip time — the fair basis for adopting a faster sampler (a variant
+    that does 4x the iterations in the same seconds should win on merit,
+    not bookkeeping). ``num_iters`` becomes an upper bound.
+    """
     import jax
     import jax.numpy as jnp
     import optax
@@ -71,10 +85,10 @@ def run(
     if aux_every:
         aux = aux_update(params, aux, key)
     _ = float(loss)
+    SYNC_BLOCK = 100  # wall-clock checks only at block edges (async dispatch)
     t0 = time.perf_counter()
-    for i in range(1, num_iters):
-        if i % steps_per_epoch == 0:
-            perm = epoch_permutation(jax.random.fold_in(key, i), ds.num_rays, b)
+    i = 1
+    while i < num_iters:
         params, opt_state, loss = step(
             params,
             opt_state,
@@ -87,8 +101,16 @@ def run(
             aux = aux_update(
                 params, aux, jax.random.fold_in(key, num_iters + i)
             )
+        i += 1
+        if i % steps_per_epoch == 0:
+            perm = epoch_permutation(jax.random.fold_in(key, i), ds.num_rays, b)
+        if seconds is not None and i % SYNC_BLOCK == 0:
+            _ = float(loss)  # force the queue so the clock is honest
+            if time.perf_counter() - t0 >= seconds:
+                break
     final_loss = float(loss)
     dt = time.perf_counter() - t0
+    num_iters = i
 
     # deterministic full-dataset eval
     preds = []
@@ -107,7 +129,16 @@ def run(
         f"PSNR={m['PSNR_mean']:.3f} SSIM={m['SSIM_mean']:.4f}",
         flush=True,
     )
-    return float(m["PSNR_mean"])
+    return {
+        "name": name,
+        "seed": seed,
+        "iters": int(num_iters),
+        "seconds": round(dt, 2),
+        "rays_per_s": round(num_iters * b / dt, 1),
+        "loss": final_loss,
+        "psnr": float(m["PSNR_mean"]),
+        "ssim": float(m["SSIM_mean"]),
+    }
 
 
 def main() -> None:

@@ -50,7 +50,7 @@ def main() -> None:
     table: dict[str, list[float]] = {}
     for seed in seeds:  # seed-major: an interrupted sweep still covers cells
         for name in names:
-            psnr = run(name, VARIANTS[name], iters, n_blobs=n_blobs, seed=seed)
+            psnr = run(name, VARIANTS[name], iters, n_blobs=n_blobs, seed=seed)["psnr"]
             table.setdefault(name, []).append(psnr)
     scene = "hard" if n_blobs > 1 else "smooth"
     print(f"== {scene} scene, {iters} iters, seeds {seeds} ==", flush=True)

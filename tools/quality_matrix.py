@@ -1,0 +1,102 @@
+"""Seed-swept quality matrix at MATCHED WALL-CLOCK (VERDICT r1 item 2).
+
+Every flagship-defining adoption decision re-examined on equal chip time:
+seeds x variants x scenes, each cell trained for the same wall-clock budget
+(compile excluded), deterministic PSNR/SSIM eval. Results stream to a JSONL
+(resumable: completed cells are skipped on rerun) and the final mean +- std
+table prints at the end for docs/performance.md.
+
+Usage:
+    python -m tools.quality_matrix [budget=60] [seeds=0,1,2] [out=...]
+        [variants=a,b,...]   # subset of VARIANTS
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent))
+from ab_importance import run  # noqa: E402
+
+VARIANTS = {
+    "uniform128": "configs/instant_ngp_tpu.json",
+    "occ15_64p32f": "configs/instant_ngp_tpu_occ.json",
+    "occ13_32p24f": "configs/instant_ngp_tpu_occ13.json",
+    "occ13_q8": "configs/instant_ngp_tpu_occ13_q8.json",
+    "occ13_q8sr": "configs/instant_ngp_tpu_occ13_q8sr.json",
+}
+SCENES = {"smooth": 1, "hard": 40}
+MAX_ITERS = 200_000  # the wall-clock budget is the real stop
+
+
+def main() -> None:
+    budget = 60.0
+    seeds = [0, 1, 2]
+    out_path = Path("docs/quality_matrix.jsonl")
+    names = list(VARIANTS)
+    for a in list(sys.argv[1:]):
+        k, _, v = a.partition("=")
+        if k == "budget":
+            budget = float(v)
+        elif k == "seeds":
+            seeds = [int(s) for s in v.split(",")]
+        elif k == "out":
+            out_path = Path(v)
+        elif k == "variants":
+            names = v.split(",")
+
+    done = set()
+    if out_path.exists():
+        for line in out_path.read_text().splitlines():
+            r = json.loads(line)
+            done.add((r["name"], r["scene"], r["seed"]))
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+
+    # variant-major: all cells of one config run back-to-back so its 3-7 min
+    # server-side compile is paid once per (variant, scene-shape) pair
+    with open(out_path, "a") as f:
+        for name in names:
+            for scene, n_blobs in SCENES.items():
+                for seed in seeds:
+                    if (name, scene, seed) in done:
+                        continue
+                    r = run(
+                        name,
+                        VARIANTS[name],
+                        MAX_ITERS,
+                        n_blobs=n_blobs,
+                        seed=seed,
+                        seconds=budget,
+                    )
+                    r["scene"] = scene
+                    r["budget_s"] = budget
+                    f.write(json.dumps(r) + "\n")
+                    f.flush()
+
+    rows = [json.loads(ln) for ln in out_path.read_text().splitlines()]
+    print(f"\n== matched wall-clock {budget:.0f}s/cell, seeds {seeds} ==")
+    for scene in SCENES:
+        print(f"-- {scene} scene --")
+        for name in names:
+            cells = [
+                r for r in rows if r["name"] == name and r["scene"] == scene
+            ]
+            if not cells:
+                continue
+            p = [r["psnr"] for r in cells]
+            s = [r["ssim"] for r in cells]
+            it = [r["iters"] for r in cells]
+            print(
+                f"{name:14s} PSNR {np.mean(p):6.2f} +- {np.std(p):4.2f}  "
+                f"SSIM {np.mean(s):.4f} +- {np.std(s):.4f}  "
+                f"(~{np.mean(it):.0f} iters/cell, n={len(p)})",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()
