@@ -85,7 +85,7 @@ def run(
     if aux_every:
         aux = aux_update(params, aux, key)
     _ = float(loss)
-    SYNC_BLOCK = 100  # wall-clock checks only at block edges (async dispatch)
+    SYNC_BLOCK = 25  # wall-clock checks only at block edges (async dispatch)
     t0 = time.perf_counter()
     i = 1
     while i < num_iters:
@@ -112,15 +112,24 @@ def run(
     dt = time.perf_counter() - t0
     num_iters = i
 
-    # deterministic full-dataset eval
+    # deterministic full-dataset eval (jitted: the eager per-op dispatch
+    # path costs minutes per eval on this transport)
+    @jax.jit
+    def eval_slice(p, sl):  # params as an ARG: closures would bake them in
+        out = pipe.forward(p, sl, key=None)
+        return jnp.take_along_axis(
+            out["color_map_fine"], sl["irgb_idx"][:, None], axis=1
+        )[:, 0]
+
     preds = []
     for s in range(0, ds.num_rays, b):
         sl = {k: v[s : s + b] for k, v in rays.items()}
-        out = pipe.forward(params, sl, key=None)
-        pred = jnp.take_along_axis(
-            out["color_map_fine"], sl["irgb_idx"][:, None], axis=1
-        )[:, 0]
-        preds.append(np.asarray(pred))
+        if sl["origin"].shape[0] < b:  # pad the tail to the jitted shape
+            pad = b - sl["origin"].shape[0]
+            sl = {k: jnp.concatenate([v, v[:pad]], axis=0) for k, v in sl.items()}
+            preds.append(np.asarray(eval_slice(params, sl))[: b - pad])
+        else:
+            preds.append(np.asarray(eval_slice(params, sl)))
     pred_img = ds.scatter_image(np.concatenate(preds))
     m = image_metrics(pred_img, ds.target_image(), ds.max_i)
     print(

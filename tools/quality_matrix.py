@@ -34,6 +34,10 @@ MAX_ITERS = 200_000  # the wall-clock budget is the real stop
 
 
 def main() -> None:
+    from atmonr_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache("/tmp/qmatrix_cache")  # cells re-jit per run(); hit here
+
     budget = 60.0
     seeds = [0, 1, 2]
     out_path = Path("docs/quality_matrix.jsonl")
