@@ -315,6 +315,16 @@ def _hash_encode_bwd(cfg: HashGridConfig, compute_dx: bool, res, g):
     return dtable, dx, d_noise
 
 
+# Above this many contributions the sort payload is packed to bf16 pairs:
+# one u32 payload instead of two f32 — 2/3 the sort traffic. Contribution
+# values get bf16 mantissas while the accumulation stays f32 (the same
+# half-precision-contribution / full-precision-accumulate trade as tcnn's
+# fp16 atomicAdd backward, and as this repo's Pallas bf16 backward mode).
+# The flagship configs never reach this (they use the Pallas backward);
+# it engages for reference-capacity tables (2^21: ~1e9 contributions).
+_PACK_BF16_SORT_THRESHOLD = 1 << 25
+
+
 def _segment_sum_sorted(idx: jax.Array, vals: jax.Array, num_segments: int):
     """Scatter-free segment sum: sort + cumsum + searchsorted + gather + diff.
 
@@ -329,11 +339,21 @@ def _segment_sum_sorted(idx: jax.Array, vals: jax.Array, num_segments: int):
     XLA scatter it replaces.
     """
     f = vals.shape[1]
-    sorted_ops = jax.lax.sort(
-        (idx,) + tuple(vals[:, j] for j in range(f)), num_keys=1
-    )
-    keys = sorted_ops[0]
-    csum = jnp.cumsum(jnp.stack(sorted_ops[1:], axis=1), axis=0)  # (M, F)
+    pack = f == 2 and idx.size >= _PACK_BF16_SORT_THRESHOLD
+    if pack:
+        packed = jax.lax.bitcast_convert_type(
+            vals.astype(jnp.bfloat16), jnp.uint32
+        )  # (M,)
+        keys, payload = jax.lax.sort((idx, packed), num_keys=1)
+        pair = jax.lax.bitcast_convert_type(payload, jnp.bfloat16)  # (M, 2)
+        sorted_vals = pair.astype(jnp.float32)
+    else:
+        sorted_ops = jax.lax.sort(
+            (idx,) + tuple(vals[:, j] for j in range(f)), num_keys=1
+        )
+        keys = sorted_ops[0]
+        sorted_vals = jnp.stack(sorted_ops[1:], axis=1)
+    csum = jnp.cumsum(sorted_vals, axis=0)  # (M, F)
     r = jnp.searchsorted(keys, jnp.arange(num_segments, dtype=keys.dtype),
                          side="right")  # (T,)
     s = jnp.where((r > 0)[:, None], csum[jnp.maximum(r - 1, 0)], 0.0)

@@ -118,3 +118,25 @@ def test_2d_hash_grid():
     x = jax.random.uniform(jax.random.PRNGKey(7), (10, 2))
     out = hg.hash_encode(table, x, cfg)
     assert out.shape == (10, 6)
+
+
+def test_segment_sum_sorted_bf16_packed_path(monkeypatch):
+    """The large-contribution sort path packs (f32, f32) payloads into one
+    bf16-pair word; result must equal the unpacked path at bf16 precision."""
+    from atmonr_tpu.models import hash_grid as hg
+
+    rng = np.random.default_rng(0)
+    m, t = 4096, 64
+    idx = jnp.asarray(rng.integers(0, t, m, dtype=np.int32))
+    vals = jnp.asarray(rng.normal(size=(m, 2)).astype(np.float32))
+
+    exact = hg._segment_sum_sorted(idx, vals, t)
+    monkeypatch.setattr(hg, "_PACK_BF16_SORT_THRESHOLD", 1)
+    packed = hg._segment_sum_sorted(idx, vals, t)
+    # bf16 rounding of the CONTRIBUTIONS only; accumulation stays f32
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(exact),
+                               rtol=2e-2, atol=2e-2)
+    ref = hg._segment_sum_sorted(
+        idx, jnp.asarray(np.asarray(vals, np.float32)).astype(jnp.bfloat16).astype(jnp.float32), t
+    )
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(ref), rtol=1e-6, atol=1e-6)
