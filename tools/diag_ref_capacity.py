@@ -46,14 +46,17 @@ def main() -> None:
     from atmonr_tpu.utils import load_config
 
     batch_size, iters = 8192, 5
+    config_path = "configs/instant_ngp.json"
     for a in sys.argv[1:]:
         k, _, v = a.partition("=")
         if k == "batch":
             batch_size = int(v)
         elif k == "iters":
             iters = int(v)
+        elif k == "config":
+            config_path = v
 
-    cfg = load_config("configs/instant_ngp.json")
+    cfg = load_config(config_path)
     granule = make_synthetic_granule(height=96, width=48, views_per_band=2)
     ds = HARP2Dataset(cfg["dataset"], granule)
     pipe = get_pipeline(cfg["pipeline"], ds)
@@ -63,7 +66,8 @@ def main() -> None:
     batch = jax.jit(
         lambda: batch_at_step(rays, perm, 0, batch_size)
     )()
-    n_samples = int(cfg["pipeline"]["num_samples_per_ray"])
+    occ = cfg["pipeline"].get("occupancy")
+    n_samples = int(occ["n_fine"] if occ else cfg["pipeline"]["num_samples_per_ray"])
     m = batch_size * n_samples
     print(
         f"reference capacity: batch={batch_size}, samples={n_samples}, "
@@ -85,9 +89,10 @@ def main() -> None:
     )
 
     # (b) full pipeline forward + loss
+    aux = pipe.init_aux() or None
     fwd = jax.jit(
         lambda p: pipe.compute_loss(
-            batch, pipe.forward(p, batch, key=key)
+            batch, pipe.forward(p, batch, key=key, aux=aux)
         )
     )
     timeit("pipeline_fwd", lambda: fwd(params), iters)
