@@ -105,7 +105,9 @@ def select_rgb_views(
         )
         which_red = int(worst_band_pixels.argmax())
     else:
-        raise NotImplementedError(f"Unrecognized RGB indexing mode {mode}")
+        raise NotImplementedError(
+            f"rgb_mode must be 'nadir' or 'most_pixels', got {mode!r}"
+        )
     return [
         int(views_of["r"][which_red]),
         int(green_for[which_red]),

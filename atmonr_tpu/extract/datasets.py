@@ -173,6 +173,113 @@ class HARP2L1CExtractDataset(_HARP2LocalExtractDataset):
             return rd("latitude"), rd("longitude"), rd("height")
 
 
+def _wrap_lon(lon):
+    """Wrap longitudes into [-180, 180)."""
+    return (lon + 180.0) % 360.0 - 180.0
+
+
+def swath_corner_latlons(lat_img: np.ndarray, lon_img: np.ndarray) -> np.ndarray:
+    """Bounding (lat, lon) corners of a multi-view granule swath.
+
+    ``lat_img``/``lon_img`` are (H, W, views). The swath must be north-up
+    (latitude decreasing along axis 0) and west-to-east (longitude increasing
+    along axis 1), and every image corner must have at least one valid view —
+    all asserted here, mirroring the reference's assumptions
+    (harp2_extract.py:223-246). Longitude extrema are taken in a
+    swath-mean-centred frame so a swath straddling the antimeridian still
+    orders west/east consistently, then unshifted and wrapped.
+
+    Returns a (4, 2) float64 array of (lat, lon) rows ordered NW, NE, SW, SE.
+    """
+    assert np.nanmean(lat_img[-1, 0] - lat_img[0, 0]) < 0
+    eastward = np.nanmean(lon_img[0, -1] - lon_img[0, 0]) % 360.0
+    assert 0.0 < eastward < 180.0
+
+    centre = np.nanmean(lon_img)
+    rel_lon = lon_img - centre
+
+    # per corner: (row, col, latitude reducer, relative-longitude reducer) —
+    # north rows keep the largest latitude across views, west columns the
+    # smallest relative longitude, and so on
+    corner_spec = [
+        (0, 0, np.nanmax, np.nanmin),  # NW
+        (0, -1, np.nanmax, np.nanmax),  # NE
+        (-1, 0, np.nanmin, np.nanmin),  # SW
+        (-1, -1, np.nanmin, np.nanmax),  # SE
+    ]
+    corners = np.empty((4, 2), np.float64)
+    for k, (r, c, reduce_lat, reduce_lon) in enumerate(corner_spec):
+        assert not np.isnan(lat_img[r, c]).all()
+        assert not np.isnan(lon_img[r, c]).all()
+        corners[k, 0] = reduce_lat(lat_img[r, c])
+        corners[k, 1] = _wrap_lon(reduce_lon(rel_lon[r, c]) + centre)
+    return corners
+
+
+def _centred_fractions(span: float, step: float) -> np.ndarray:
+    """Fractions in (0, 1) placing ``int(span // step)`` points ``step``
+    apart, with half the remainder left as margin at each end."""
+    count = int(span // step)
+    margin = span % step
+    return (np.linspace(0.0, span - margin, count) + margin / 2.0) / span
+
+
+def geodesic_grid(corners: np.ndarray, step: float):
+    """Near-uniform (lat, lon) grid over a quadrilateral swath.
+
+    Earth curvature would make a plain lat/lon lattice unevenly spaced, so
+    the grid is laid out with Vincenty geodesics instead (reference
+    harp2_extract.py:273-327, rebuilt here around batched solves): the grid
+    shape comes from the two midline spans (west-edge-midpoint to
+    east-edge-midpoint, north to south), row anchors are marched along the
+    north and south edges, and each grid column is filled in by walking the
+    geodesic between its pair of anchors.
+
+    Args:
+        corners: (4, 2) array of (lat, lon) rows ordered NW, NE, SW, SE.
+        step: target spacing between neighbouring grid points, in meters.
+
+    Returns:
+        ``(lat, lon)`` float64 arrays, each (rows, cols).
+    """
+    # one batched inverse solve for the four edges: N, S, W, E
+    edge_start = corners[[0, 2, 0, 1]].T  # (2, 4)
+    edge_end = corners[[1, 3, 2, 3]].T
+    edge_len, edge_azi, _ = wgs84.vincenty_distance(edge_start, edge_end, xp=np)
+    # one batched direct solve for all four edge midpoints
+    mids, _ = wgs84.vincenty_point_along_geodesic(
+        edge_start, edge_azi, edge_len / 2.0, xp=np
+    )  # (2, 4)
+    # midline spans: rows axis = N-mid to S-mid, cols axis = W-mid to E-mid
+    span_rows_cols, _, _ = wgs84.vincenty_distance(
+        mids[:, [0, 2]], mids[:, [1, 3]], xp=np
+    )
+    frac_rows = _centred_fractions(float(span_rows_cols[0]), step)
+    frac_cols = _centred_fractions(float(span_rows_cols[1]), step)
+
+    # anchor each column on the north and south edges (both marched from
+    # their western corner at the edge's forward azimuth)
+    anchors, _ = wgs84.vincenty_point_along_geodesic(
+        corners[[0, 2]].T[:, :, None],  # (2, 2, 1): NW and SW starts
+        edge_azi[:2, None],
+        frac_cols[None, :] * edge_len[:2, None],
+        xp=np,
+    )  # (2, 2, ncols): (lat|lon, N|S edge, col)
+    north_anchor, south_anchor = anchors[:, 0], anchors[:, 1]
+
+    # fill each column by walking its anchor-to-anchor geodesic
+    col_len, col_azi, _ = wgs84.vincenty_distance(
+        north_anchor, south_anchor, xp=np
+    )  # each (ncols,)
+    grid, _ = wgs84.vincenty_point_along_geodesic(
+        north_anchor[:, None, :],
+        col_azi[None, :],
+        frac_rows[:, None] * col_len[None, :],
+        xp=np,
+    )  # (2, nrows, ncols)
+    return grid[0], grid[1]
+
+
 class HARP2VoxelGridExtractDataset(_HARP2LocalExtractDataset):
     """User-defined voxel grid with near-uniform horizontal spacing despite
     Earth curvature, built by Vincenty geodesic marching (reference
@@ -193,106 +300,15 @@ class HARP2VoxelGridExtractDataset(_HARP2LocalExtractDataset):
         self.horizontal_step = horizontal_step
 
         nv = dataset.view_idx.shape[0]
-        lat_img = dataset.lat.reshape(list(dataset.img_shp) + [nv]).astype(
-            np.float64
+        img_shape = list(dataset.img_shp) + [nv]
+        corners = swath_corner_latlons(
+            dataset.lat.reshape(img_shape).astype(np.float64),
+            dataset.lon.reshape(img_shape).astype(np.float64),
         )
-        lon_img = dataset.lon.reshape(list(dataset.img_shp) + [nv]).astype(
-            np.float64
-        )
-
-        # assumption checks (reference harp2_extract.py:233-240)
-        assert np.nanmean(lat_img[-1, 0] - lat_img[0, 0]) < 0
-        lon_mean_diff = np.nanmean(lon_img[0, -1] - lon_img[0, 0]) % 360
-        assert 0 < lon_mean_diff < 180
-        for i, j in [(0, 0), (0, -1), (-1, 0), (-1, -1)]:
-            assert not np.isnan(lat_img[i, j]).all()
-            assert not np.isnan(lon_img[i, j]).all()
-
-        lon_mean = np.nanmean(lon_img)
-        lon_shifted = lon_img - lon_mean
-
-        def _fix_lon(lon):
-            return (lon + 180.0) % 360.0 - 180.0
-
-        def _nmax(a):
-            return np.nanmax(a)
-
-        def _nmin(a):
-            return np.nanmin(a)
-
-        topleft = (
-            np.atleast_1d(_nmax(lat_img[0, 0])),
-            np.atleast_1d(_fix_lon(_nmin(lon_shifted[0, 0]) + lon_mean)),
-        )
-        botleft = (
-            np.atleast_1d(_nmin(lat_img[-1, 0])),
-            np.atleast_1d(_fix_lon(_nmin(lon_shifted[-1, 0]) + lon_mean)),
-        )
-        topright = (
-            np.atleast_1d(_nmax(lat_img[0, -1])),
-            np.atleast_1d(_fix_lon(_nmax(lon_shifted[0, -1]) + lon_mean)),
-        )
-        botright = (
-            np.atleast_1d(_nmin(lat_img[-1, -1])),
-            np.atleast_1d(_fix_lon(_nmax(lon_shifted[-1, -1]) + lon_mean)),
-        )
-
-        def _midpoint(a, b):
-            s, a1, _ = wgs84.vincenty_distance(a, b, xp=np)
-            (lat, lon), _ = wgs84.vincenty_point_along_geodesic(
-                a, a1, s / 2, xp=np
-            )
-            return (lat, lon)
-
-        topmid = _midpoint(topleft, topright)
-        leftmid = _midpoint(topleft, botleft)
-        rightmid = _midpoint(topright, botright)
-        botmid = _midpoint(botleft, botright)
-
-        dist_lr, _, _ = wgs84.vincenty_distance(leftmid, rightmid, xp=np)
-        dist_tb, _, _ = wgs84.vincenty_distance(topmid, botmid, xp=np)
-        dist_lr, dist_tb = float(dist_lr), float(dist_tb)
-
-        img_shp = (
-            int(dist_tb // horizontal_step),
-            int(dist_lr // horizontal_step),
-        )
-        pad = dist_tb % horizontal_step, dist_lr % horizontal_step
-
-        samples_tb = (
-            np.linspace(0, dist_tb - pad[0], img_shp[0]) + pad[0] / 2
-        ) / dist_tb
-        samples_lr = (
-            np.linspace(0, dist_lr - pad[1], img_shp[1]) + pad[1] / 2
-        ) / dist_lr
-
-        # march along the top and bottom edges, then down each column
-        along_top, top_azi, _ = wgs84.vincenty_distance(topleft, topright, xp=np)
-        along_bot, bot_azi, _ = wgs84.vincenty_distance(botleft, botright, xp=np)
-        samples_along_top, _ = wgs84.vincenty_point_along_geodesic(
-            np.stack([topleft[0], topleft[1]]),
-            np.asarray(top_azi),
-            samples_lr * float(along_top),
-            xp=np,
-        )  # (2, ncols)
-        samples_along_bot, _ = wgs84.vincenty_point_along_geodesic(
-            np.stack([botleft[0], botleft[1]]),
-            np.asarray(bot_azi),
-            samples_lr * float(along_bot),
-            xp=np,
-        )
-        col_dist, col_azi, _ = wgs84.vincenty_distance(
-            samples_along_top, samples_along_bot, xp=np
-        )  # each (ncols,)
-        (sample_lat, sample_lon), _ = wgs84.vincenty_point_along_geodesic(
-            (samples_along_top[0][None, :], samples_along_top[1][None, :]),
-            np.asarray(col_azi)[None, :],
-            samples_tb[:, None] * np.asarray(col_dist)[None, :],
-            xp=np,
-        )  # each (nrows, ncols)
+        sample_lat, sample_lon = geodesic_grid(corners, horizontal_step)
 
         self.height = interp_dem_height(dem_path, sample_lat, sample_lon)
-        self.shp = (img_shp[0], img_shp[1], self.sample_alt.shape[0])
+        self.shp = sample_lat.shape + (self.sample_alt.shape[0],)
         self._grid_from_latlon(sample_lat, sample_lon)
 
 

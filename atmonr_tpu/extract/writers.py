@@ -199,17 +199,17 @@ def global_grid_dump(output_filepath: Path, extract_dataset, sigma) -> None:
         except ImportError:
             vdb = None
     if vdb is None:
-        # next to the requested output (the reference drops them in the CWD,
-        # harp2_extract.py:919-921 — strictly less useful)
-        out_dir = Path(output_filepath).parent
-        voxel_filepath = out_dir / "voxels.npy"
-        sigma_filepath = out_dir / "sigma.npy"
+        # Fallback contract: two sparse arrays derived from the REQUESTED
+        # path — <stem>_voxels.npy (N, 3) int ijk and <stem>_sigma.npy (N,)
+        # — so concurrent extracts never collide. (The reference instead
+        # drops voxels.npy/sigma.npy in the CWD, harp2_extract.py:919-921.)
+        out = Path(output_filepath)
+        voxel_filepath = out.with_name(out.stem + "_voxels.npy")
+        sigma_filepath = out.with_name(out.stem + "_sigma.npy")
         warnings.warn(
             "Unable to import OpenVDB Python bindings, exporting to "
             f"{voxel_filepath} and {sigma_filepath} instead."
         )
-        if voxel_filepath.exists() or sigma_filepath.exists():
-            raise FileExistsError
         np.save(voxel_filepath, extract_dataset.voxels, allow_pickle=False)
         np.save(sigma_filepath, sigma, allow_pickle=False)
         return

@@ -58,6 +58,12 @@ class HashGridConfig:
     # TPU when the packed gradient fits VMEM, else the sorted segment-sum.
     # "sort" forces the sorted path; "bf16"/"f32" force the Pallas kernel.
     bwd_mode: str = "auto"
+    # bf16 packing of the sorted-segment-sum payload (2/3 the sort traffic,
+    # bf16 contribution mantissas, f32 accumulation): "auto" engages above
+    # a contribution-count threshold, "on"/"off" pin it — an explicit knob
+    # so quality A/Bs straddling the size threshold don't silently change
+    # numerics (ADVICE r2).
+    bwd_sort_pack: str = "auto"
 
     @staticmethod
     def from_options(options: dict, n_dims: int) -> "HashGridConfig":
@@ -71,6 +77,7 @@ class HashGridConfig:
             per_level_scale=float(options["per_level_scale"]),
             fwd_mode=str(options.get("fwd_mode", "auto")),
             bwd_mode=str(options.get("bwd_mode", "auto")),
+            bwd_sort_pack=str(options.get("bwd_sort_pack", "auto")),
         )
 
     @cached_property
@@ -308,7 +315,9 @@ def _hash_encode_bwd(cfg: HashGridConfig, compute_dx: bool, res, g):
         idx_flat = jnp.concatenate(all_idx)
         vals_flat = jnp.concatenate(all_vals).astype(table.dtype)
         if jax.default_backend() == "tpu":
-            dtable = _segment_sum_sorted(idx_flat, vals_flat, cfg.total_params)
+            dtable = _segment_sum_sorted(
+                idx_flat, vals_flat, cfg.total_params, cfg.bwd_sort_pack
+            )
         else:
             dtable = jnp.zeros_like(table).at[idx_flat].add(vals_flat)
     d_noise = None if sr_noise is None else jnp.zeros_like(sr_noise)
@@ -325,7 +334,9 @@ def _hash_encode_bwd(cfg: HashGridConfig, compute_dx: bool, res, g):
 _PACK_BF16_SORT_THRESHOLD = 1 << 25
 
 
-def _segment_sum_sorted(idx: jax.Array, vals: jax.Array, num_segments: int):
+def _segment_sum_sorted(
+    idx: jax.Array, vals: jax.Array, num_segments: int, pack_mode: str = "auto"
+):
     """Scatter-free segment sum: sort + cumsum + searchsorted + gather + diff.
 
     XLA:TPU lowers scatter-add serially (~13 M updates/s measured on v5e),
@@ -339,7 +350,10 @@ def _segment_sum_sorted(idx: jax.Array, vals: jax.Array, num_segments: int):
     XLA scatter it replaces.
     """
     f = vals.shape[1]
-    pack = f == 2 and idx.size >= _PACK_BF16_SORT_THRESHOLD
+    pack = f == 2 and (
+        pack_mode == "on"
+        or (pack_mode == "auto" and idx.size >= _PACK_BF16_SORT_THRESHOLD)
+    )
     if pack:
         packed = jax.lax.bitcast_convert_type(
             vals.astype(jnp.bfloat16), jnp.uint32

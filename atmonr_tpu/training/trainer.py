@@ -158,6 +158,18 @@ class Trainer:
         # multi-host: one console narrator (logging is gated the same way)
         self._print = print if jax.process_index() == 0 else (lambda *a, **k: None)
 
+    def place(self, device) -> None:
+        """Pin this trainer's rays + state to one device without a mesh.
+
+        Multi-granule ``--check-numerics`` path: the checkify step can't run
+        under shard_map, but a one-device granule group only needs its
+        arrays PLACED on that device, not sharded — this keeps the groups
+        non-overlapping while the plain jitted checkify step stays legal."""
+        import jax
+
+        self.rays = jax.device_put(self.rays, device)
+        self.state = jax.device_put(self.state, device)
+
     def shard(self, mesh) -> None:
         """Switch to multi-chip training: shard the HBM-resident ray store
         over the mesh "data" axis and replicate parameters/optimizer state.
@@ -237,9 +249,9 @@ class Trainer:
             # sharded mesh); surface that now instead of deep in a pod run
             raise NotImplementedError(
                 "check_numerics is single-device only for now: checkify "
-                "cannot wrap the shard_map training step. Re-run without "
-                "--mesh to localize the NaN, or without --check-numerics "
-                "to train sharded."
+                "cannot wrap the shard_map training step. Train unsharded "
+                "(no --mesh; one device per granule) to localize the NaN, "
+                "or drop --check-numerics to train sharded."
             )
         from jax.experimental import checkify
 

@@ -75,7 +75,12 @@ def _phase(name: str) -> None:
     print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {name}", file=sys.stderr, flush=True)
 
 
-def _emit(rays_per_s: float, provisional: bool = False, source: str | None = None) -> None:
+def _emit(
+    rays_per_s: float,
+    provisional: bool = False,
+    source: str | None = None,
+    stream=None,
+) -> None:
     line = {
         "metric": "instant_ngp_train_rays_per_s_per_chip",
         "value": round(rays_per_s, 1),
@@ -86,17 +91,21 @@ def _emit(rays_per_s: float, provisional: bool = False, source: str | None = Non
         line["provisional"] = True
     if source:
         line["source"] = source
-    print(json.dumps(line), flush=True)
+    print(json.dumps(line), file=stream or sys.stdout, flush=True)
 
 
 def _emit_last_completed() -> None:
+    # stderr ONLY: stdout must carry nothing but numbers measured by the
+    # current process, so a run that dies mid-compile yields no parseable
+    # stale line (ADVICE r2 medium; VERDICT r2 weak #7)
     try:
         with open(_LAST_RESULT) as f:
             last = json.load(f)
         _emit(
             float(last["value"]),
             provisional=True,
-            source=f"last completed run {last.get('recorded_at', '?')}",
+            source=f"last completed run {last.get('recorded_at', '?')} (stale, fyi only)",
+            stream=sys.stderr,
         )
     except Exception:
         pass

@@ -112,6 +112,10 @@ def main() -> None:
             )
             if args.mesh:
                 trainer.shard(make_mesh_from_spec(args.mesh, devices=group))
+            elif trainer.check_numerics and len(group) == 1:
+                # checkify can't wrap the shard_map step; a one-device group
+                # only needs placement, not a mesh
+                trainer.place(group[0])
             else:
                 # always shard onto the group — even a one-device group needs
                 # its state/rays placed there, or every granule silently

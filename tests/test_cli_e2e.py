@@ -58,7 +58,7 @@ def test_train_extract_video_journey(tmp_path):
 
     import h5py
 
-    for coord_mode, fname in [("l1c", "e2e_l1c.nc"), ("globalgrid", "e2e_gg.npy")]:
+    for coord_mode, fname in [("l1c", "e2e_l1c.nc"), ("globalgrid", "e2e_gg.vdb")]:
         _run_cli(
             "extract.py",
             "--exp-name", "e2e",
@@ -76,9 +76,13 @@ def test_train_extract_video_journey(tmp_path):
             if "sigma" in name.lower() or "extinct" in name.lower():
                 sigma_l1c = np.asarray(f[name])
     assert sigma_l1c is not None and np.isfinite(sigma_l1c).all()
-    # globalgrid dumps .npy when OpenVDB is absent (reference fallback)
-    gg = np.load(tmp_path / "e2e_gg.npy")
-    assert gg.ndim == 3 and np.isfinite(gg).all()
+    # globalgrid falls back to <stem>_voxels.npy / <stem>_sigma.npy when
+    # OpenVDB is absent (atmonr_tpu/extract/writers.py:global_grid_dump)
+    gg_vox = np.load(tmp_path / "e2e_gg_voxels.npy")
+    gg_sigma = np.load(tmp_path / "e2e_gg_sigma.npy")
+    assert gg_vox.ndim == 2 and gg_vox.shape[1] == 3
+    assert gg_sigma.shape[0] == gg_vox.shape[0]
+    assert np.isfinite(gg_sigma).all()
 
     _run_cli(
         "make_video.py",

@@ -162,5 +162,7 @@ def test_globalgrid_npy_fallback_dump(dataset, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     with pytest.warns(UserWarning, match="OpenVDB"):
         ex.dump(tmp_path / "out.vdb", sigma)
-    assert (tmp_path / "voxels.npy").exists()
-    assert (tmp_path / "sigma.npy").exists()
+    vox = np.load(tmp_path / "out_voxels.npy")
+    sig = np.load(tmp_path / "out_sigma.npy")
+    assert vox.ndim == 2 and vox.shape[1] == 3
+    assert sig.shape[0] == vox.shape[0]

@@ -125,9 +125,15 @@ def run(
     for s in range(0, ds.num_rays, b):
         sl = {k: v[s : s + b] for k, v in rays.items()}
         if sl["origin"].shape[0] < b:  # pad the tail to the jitted shape
-            pad = b - sl["origin"].shape[0]
-            sl = {k: jnp.concatenate([v, v[:pad]], axis=0) for k, v in sl.items()}
-            preds.append(np.asarray(eval_slice(params, sl))[: b - pad])
+            tail = sl["origin"].shape[0]
+            pad = b - tail
+            # repeat the last row: padding with a slice of the tail itself
+            # under-fills whenever tail < pad and forces a recompile
+            sl = {
+                k: jnp.concatenate([v, jnp.repeat(v[-1:], pad, axis=0)], axis=0)
+                for k, v in sl.items()
+            }
+            preds.append(np.asarray(eval_slice(params, sl))[:tail])
         else:
             preds.append(np.asarray(eval_slice(params, sl)))
     pred_img = ds.scatter_image(np.concatenate(preds))
