@@ -9,14 +9,16 @@ same jitted program deserializes the compiled executable in under a
 second (measured on this axon PJRT backend: 3.2 s compile -> 0.44 s
 cache hit for a 20-matmul probe).
 
-The cache directory lives inside the repo and is committed, so a fresh
-checkout on the same machine/backend starts warm. Entries are keyed on
-the HLO + compile options + backend version, so a stale entry is a miss,
-never a wrong result.
+The cache directory lives inside the repo but is gitignored (machine- and
+backend-specific binary blobs don't belong in history — ADVICE r2); warm
+it by running the consumer once after the last code edit. Entries are
+keyed on the HLO + compile options + backend version, so a stale entry is
+a miss, never a wrong result.
 """
 
 from __future__ import annotations
 
+import os
 import pathlib
 
 _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
@@ -31,10 +33,14 @@ def enable(cache_dir: str | None = None) -> str:
     """
     import jax
 
-    path = cache_dir or str(_REPO_ROOT / ".jax_cache")
+    if cache_dir is None:
+        # keep CPU-backend entries (tests, JAX_PLATFORMS=cpu subprocesses)
+        # out of the TPU cache dir; keys are backend-qualified either way
+        cpu = os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
+        cache_dir = str(_REPO_ROOT / (".jax_cache_cpu" if cpu else ".jax_cache"))
+    path = cache_dir
     jax.config.update("jax_compilation_cache_dir", path)
-    # Cache everything that takes noticeable compile time; the repo-local
-    # dir is small and git keeps it bounded by review.
+    # Cache everything that takes noticeable compile time.
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     return path

@@ -12,6 +12,10 @@ import warnings
 from pathlib import Path
 from types import SimpleNamespace
 
+from atmonr_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()
+
 EARTH_RADIUS = 6.378e6
 
 

@@ -16,6 +16,10 @@ import json
 import os
 from pathlib import Path
 
+from atmonr_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()
+
 
 def parse_args() -> argparse.Namespace:
     parser = argparse.ArgumentParser()

@@ -92,7 +92,9 @@ def test_globalgrid_extract(dataset):
         "globalgrid",
         dataset,
         scale=100 / 6.378e6,
-        grid_res=0.002,
+        # 0.004 keeps every geometry assertion meaningful at half the
+        # traversal steps/ray of 0.002 (suite wall-time budget)
+        grid_res=0.004,
         vstretch=12,
         lon_crop=0.05,
     )

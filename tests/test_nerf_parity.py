@@ -17,6 +17,7 @@ import numpy as np
 import pytest
 
 from atmonr_tpu.pipelines.nerf import NeRFPipeline
+from jitutil import jit_forward, jit_grad
 
 GOLDEN = Path(__file__).parent / "golden"
 g = np.load(GOLDEN / "nerf_pipeline.npz")
@@ -75,7 +76,7 @@ def pipe():
 
 
 def test_forward_radiance_parity(pipe):
-    results = pipe.forward(_params(), _batch(), key=None)
+    results = jit_forward(pipe, _params(), _batch(), key=None)
     np.testing.assert_allclose(
         np.asarray(results["z_vals_coarse"]), g["z_vals_coarse"], rtol=1e-5
     )
@@ -108,7 +109,7 @@ def test_forward_radiance_parity(pipe):
 
 def test_loss_parity(pipe):
     batch = _batch()
-    results = pipe.forward(_params(), batch, key=None)
+    results = jit_forward(pipe, _params(), batch, key=None)
     loss = pipe.compute_loss(batch, results)
     np.testing.assert_allclose(float(loss), float(g["loss"]), rtol=1e-4)
 
@@ -120,7 +121,7 @@ def test_gradient_parity(pipe):
     def loss_fn(params):
         return pipe.compute_loss(batch, pipe.forward(params, batch, key=None))
 
-    grads = jax.grad(loss_fn)(_params())
+    grads = jit_grad(loss_fn, _params())
     checked = 0
     for mode in ["coarse", "fine"]:
         for i in range(1, 12):

@@ -21,6 +21,7 @@ from atmonr_tpu.ops.samplers import sample_piecewise
 from atmonr_tpu.pipelines import get_pipeline
 
 from tests.test_pipelines import DATASET_CONFIG, NGP_CONFIG
+from jitutil import jit_forward, jit_grad
 
 OCC_OPTIONS = {
     "resolution": [8, 8, 4],
@@ -154,14 +155,14 @@ def test_forward_with_occupancy_shapes(dataset, batch):
     pipe = get_pipeline(occ_config(), dataset)
     params = pipe.init_params(jax.random.PRNGKey(1))
     aux = pipe.init_aux()
-    results = pipe.forward(params, batch, key=jax.random.PRNGKey(2), aux=aux)
+    results = jit_forward(pipe, params, batch, key=jax.random.PRNGKey(2), aux=aux)
     b, n = 64, OCC_OPTIONS["n_fine"]
     assert results["color_map_fine"].shape == (b, 4)
     assert results["sigma_fine"].shape == (b, n - 1, 1)
     assert results["z_vals_fine"].shape == (b, n)
     assert np.isfinite(float(pipe.compute_loss(batch, results)))
     # aux-free eval falls back to the uniform path
-    r_eval = pipe.forward(params, batch, key=None)
+    r_eval = jit_forward(pipe, params, batch, key=None)
     assert r_eval["z_vals_fine"].shape == (b, NGP_CONFIG["num_samples_per_ray"])
 
 

@@ -29,7 +29,9 @@ def test_mesh_construction():
     assert mesh3.shape == {"data": 4, "sample": 2}
 
 
-@pytest.mark.parametrize("ns", [2, 4, 8])
+# 2-way (single boundary exchange) and 8-way (full ring) bound the
+# blockwise-compositor cases; intermediate widths add only compile time
+@pytest.mark.parametrize("ns", [2, 8])
 def test_sample_sharded_render_matches_single_device(ns):
     mesh = make_mesh(data=1, sample=ns)
     rng = np.random.default_rng(0)

@@ -10,6 +10,7 @@ from atmonr_tpu.data.batching import batch_at_step, epoch_permutation
 from atmonr_tpu.data.harp2 import HARP2Dataset
 from atmonr_tpu.data.synthetic import make_synthetic_granule
 from atmonr_tpu.pipelines import get_pipeline
+from jitutil import jit_forward, jit_grad
 
 DATASET_CONFIG = {
     "type": "HARP2",
@@ -98,7 +99,7 @@ def batch(dataset):
 def test_nerf_forward_shapes(dataset, batch):
     pipe = get_pipeline(NERF_CONFIG, dataset)
     params = pipe.init_params(jax.random.PRNGKey(1))
-    results = pipe.forward(params, batch, key=jax.random.PRNGKey(2))
+    results = jit_forward(pipe, params, batch, key=jax.random.PRNGKey(2))
     b, nc, nf = 64, 8, 8 + 16
     assert results["color_map_coarse"].shape == (b, 4)
     assert results["color_map_fine"].shape == (b, 4)
@@ -112,8 +113,8 @@ def test_nerf_forward_shapes(dataset, batch):
 def test_nerf_deterministic_eval(dataset, batch):
     pipe = get_pipeline(NERF_CONFIG, dataset)
     params = pipe.init_params(jax.random.PRNGKey(1))
-    r1 = pipe.forward(params, batch, key=None)
-    r2 = pipe.forward(params, batch, key=None)
+    r1 = jit_forward(pipe, params, batch, key=None)
+    r2 = jit_forward(pipe, params, batch, key=None)
     np.testing.assert_array_equal(
         np.asarray(r1["color_map_fine"]), np.asarray(r2["color_map_fine"])
     )
@@ -155,7 +156,7 @@ def test_nerf_extract(dataset):
 def test_ngp_forward_shapes(dataset, batch):
     pipe = get_pipeline(NGP_CONFIG, dataset)
     params = pipe.init_params(jax.random.PRNGKey(1))
-    results = pipe.forward(params, batch, key=jax.random.PRNGKey(2))
+    results = jit_forward(pipe, params, batch, key=jax.random.PRNGKey(2))
     b, n = 64, 32
     assert results["color_map_fine"].shape == (b, 4)
     assert results["color_map_surf"].shape == (b, 4)
@@ -206,7 +207,7 @@ def test_ngp_hash_table_gets_gradients(dataset, batch):
     def loss_fn(p):
         return pipe.loss_and_results(p, batch, jax.random.PRNGKey(0))[0]
 
-    grads = jax.grad(loss_fn)(params)
+    grads = jit_grad(loss_fn, params)
     assert float(jnp.linalg.norm(grads["pos_table"])) > 0
     assert float(jnp.linalg.norm(grads["surf_enc"][0]["hash_table"])) > 0
     assert float(jnp.linalg.norm(grads["pos_mlp"]["layers"][0]["w"])) > 0
@@ -238,7 +239,7 @@ def test_ngp_importance_sampler(dataset, batch):
     cfg = {**NGP_CONFIG, "importance_sampler": {"n_coarse": 8, "n_fine": 8}}
     pipe = get_pipeline(cfg, dataset)
     params = pipe.init_params(jax.random.PRNGKey(1))
-    results = pipe.forward(params, batch, key=jax.random.PRNGKey(2))
+    results = jit_forward(pipe, params, batch, key=jax.random.PRNGKey(2))
     b, n = 64, 16
     assert results["z_vals_fine"].shape == (b, n)
     z = np.asarray(results["z_vals_fine"])
@@ -249,12 +250,12 @@ def test_ngp_importance_sampler(dataset, batch):
     def loss_fn(p):
         return pipe.loss_and_results(p, batch, jax.random.PRNGKey(0))[0]
 
-    grads = jax.grad(loss_fn)(params)
+    grads = jit_grad(loss_fn, params)
     assert float(jnp.linalg.norm(grads["pos_table"])) > 0
 
     # deterministic eval mode works too (key=None -> quantile midpoints)
-    det = pipe.forward(params, batch, key=None)
-    det2 = pipe.forward(params, batch, key=None)
+    det = jit_forward(pipe, params, batch, key=None)
+    det2 = jit_forward(pipe, params, batch, key=None)
     np.testing.assert_array_equal(
         np.asarray(det["color_map_fine"]), np.asarray(det2["color_map_fine"])
     )
@@ -271,5 +272,5 @@ def test_ngp_importance_fast_config_loads(dataset):
         rays, epoch_permutation(jax.random.PRNGKey(0), dataset.num_rays, 32),
         jnp.asarray(0), 32,
     )
-    out = pipe.forward(params, batch, jax.random.PRNGKey(2))
+    out = jit_forward(pipe, params, batch, key=jax.random.PRNGKey(2))
     assert out["z_vals_fine"].shape == (32, 64)  # 32 coarse + 32 fine

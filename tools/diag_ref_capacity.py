@@ -19,15 +19,22 @@ import sys
 import time
 
 
-def timeit(name: str, fn, iters: int) -> float:
+def _fetch_scalar(out):
+    """Force completion with a scalar download — on this transport
+    ``block_until_ready`` can return before execution completes
+    (docs/performance.md), and bulk device->host is ~10 KB/s."""
     import jax
 
-    out = fn()  # compile
-    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(leaf.ravel()[0])
+
+
+def timeit(name: str, fn, iters: int) -> float:
+    _fetch_scalar(fn())  # compile
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
-    jax.block_until_ready(out)
+    _fetch_scalar(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:14s} {dt * 1e3:9.1f} ms/iter", flush=True)
     return dt
