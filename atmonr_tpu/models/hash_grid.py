@@ -195,7 +195,9 @@ def _hash_encode_impl(table: jax.Array, x: jax.Array, cfg: HashGridConfig):
     for level in range(cfg.n_levels):
         idx, w = level_indices(x, cfg, level)
         feats = table[cfg.level_offsets[level] + idx]  # (M, 2^D, F)
-        outs.append(jnp.sum(feats * w[..., None].astype(feats.dtype), axis=1))
+        # accumulate in the weights' dtype (f32) — a no-op for f32 tables,
+        # an upcast for the bf16-gather fallback
+        outs.append(jnp.sum(feats.astype(w.dtype) * w[..., None], axis=1))
     return jnp.concatenate(outs, axis=-1)
 
 
@@ -220,6 +222,12 @@ def _fwd_dispatch(
             return hgp.hash_encode_pallas_fwd(
                 table, x, cfg, mode, sr_noise if mode == "q8" else None
             )
+        if mode == "bf16":
+            # XLA-gather fallback at reference-capacity tables: bf16 rows
+            # gather 1.3x faster than f32 (161 vs 122 M rows/s, v5e) and
+            # match the Pallas kernel's (and tcnn's) half-precision table
+            # convention; interpolation still accumulates in f32
+            return _hash_encode_impl(table.astype(jnp.bfloat16), x, cfg)
     return _hash_encode_impl(table, x, cfg)
 
 
@@ -255,12 +263,38 @@ def hash_encode(
     per-step error; see ops/hash_gather_pallas.quantize_level_q8). Ignored
     by every other mode; carries no gradient (the table gradient is exact
     f32 regardless of the forward's quantization).
+
+    Above ``_POINT_CHUNK`` points the encode runs as a ``lax.map`` over
+    point chunks: at the 2^21 reference capacity the per-point
+    intermediates ((M, 2^D) weights, (M, 2^D, D) corner coords) otherwise
+    lane-pad to ~16x their logical size and 8.4 M points OOM a 16 GB chip.
+    The table stays a closure constant of the mapped body, so neither the
+    scan residuals nor the gradient accumulation replicate it per chunk.
     """
+    m = x.shape[0]
+    if m > _POINT_CHUNK and not compute_dx:
+        n_chunks = -(-m // _POINT_CHUNK)
+        pad = n_chunks * _POINT_CHUNK - m
+        x_p = jnp.concatenate([x, x[:pad]]) if pad else x
+        out = jax.lax.map(
+            lambda xc: _hash_encode_core(table, xc, sr_noise, cfg, False),
+            x_p.reshape(n_chunks, _POINT_CHUNK, x.shape[1]),
+        )
+        return out.reshape(n_chunks * _POINT_CHUNK, -1)[:m]
     return _hash_encode_core(table, x, sr_noise, cfg, compute_dx)
 
 
+# chunk size for the lax.map path: 2^20 points keeps each chunk's padded
+# intermediates a few hundred MB while the per-level sorts stay efficient
+_POINT_CHUNK = 1 << 20
+
+
 def _hash_encode_fwd(table, x, sr_noise, cfg, compute_dx):
-    return _fwd_dispatch(table, x, cfg, sr_noise), (table, x, sr_noise)
+    # the table is omitted from the residuals unless dx needs its features:
+    # under the chunked lax.map the residuals are stacked per chunk, and a
+    # stacked 2^21-config table would be 8 x 170 MB of dead weight
+    res = (table, x, sr_noise) if compute_dx else (None, x, sr_noise)
+    return _fwd_dispatch(table, x, cfg, sr_noise), res
 
 
 def _hash_encode_bwd(cfg: HashGridConfig, compute_dx: bool, res, g):
@@ -275,10 +309,11 @@ def _hash_encode_bwd(cfg: HashGridConfig, compute_dx: bool, res, g):
         mode = "bf16" if cfg.bwd_mode == "auto" else cfg.bwd_mode
         if hbp.supported(cfg, mode):
             dtable = hbp.hash_encode_pallas_bwd(x, g, cfg, mode).astype(
-                table.dtype
+                jnp.float32
             )
 
-    all_idx, all_vals = [], []
+    all_idx, all_vals, level_dws = [], [], []
+    on_tpu = jax.default_backend() == "tpu"
     dx = jnp.zeros_like(x)
     for level in range(cfg.n_levels):
         if dtable is None:
@@ -286,8 +321,23 @@ def _hash_encode_bwd(cfg: HashGridConfig, compute_dx: bool, res, g):
             g_l = g[:, level * f : (level + 1) * f]  # (M, F)
             # table cotangent: w_c * g per corner, flattened to 1-D scatter
             vals = w[..., None] * g_l[:, None, :]  # (M, 2^D, F)
-            all_idx.append((cfg.level_offsets[level] + idx).reshape(-1))
-            all_vals.append(vals.reshape(-1, f))
+            if on_tpu:
+                # per-level two-phase binning: each level's contributions
+                # are sorted and densified into its own table slice, so
+                # peak memory is one level's payload (~0.8 GB at the 2^21
+                # reference capacity, where one global sort of all 16
+                # levels' 1e9 contributions would not fit HBM)
+                level_dws.append(
+                    _segment_sum_sorted(
+                        idx.reshape(-1),
+                        vals.reshape(-1, f).astype(jnp.float32),
+                        cfg.level_sizes[level],
+                        cfg.bwd_sort_pack,
+                    )
+                )
+            else:
+                all_idx.append((cfg.level_offsets[level] + idx).reshape(-1))
+                all_vals.append(vals.reshape(-1, f))
         if not compute_dx:
             continue
         if dtable is not None:
@@ -312,14 +362,14 @@ def _hash_encode_bwd(cfg: HashGridConfig, compute_dx: bool, res, g):
             )
 
     if dtable is None:
-        idx_flat = jnp.concatenate(all_idx)
-        vals_flat = jnp.concatenate(all_vals).astype(table.dtype)
-        if jax.default_backend() == "tpu":
-            dtable = _segment_sum_sorted(
-                idx_flat, vals_flat, cfg.total_params, cfg.bwd_sort_pack
-            )
+        if on_tpu:
+            dtable = jnp.concatenate(level_dws, axis=0)
         else:
-            dtable = jnp.zeros_like(table).at[idx_flat].add(vals_flat)
+            idx_flat = jnp.concatenate(all_idx)
+            vals_flat = jnp.concatenate(all_vals).astype(jnp.float32)
+            dtable = jnp.zeros(
+                (cfg.total_params, f), jnp.float32
+            ).at[idx_flat].add(vals_flat)
     d_noise = None if sr_noise is None else jnp.zeros_like(sr_noise)
     return dtable, dx, d_noise
 
@@ -334,20 +384,47 @@ def _hash_encode_bwd(cfg: HashGridConfig, compute_dx: bool, res, g):
 _PACK_BF16_SORT_THRESHOLD = 1 << 25
 
 
-def _segment_sum_sorted(
-    idx: jax.Array, vals: jax.Array, num_segments: int, pack_mode: str = "auto"
-):
-    """Scatter-free segment sum: sort + cumsum + searchsorted + gather + diff.
+# Static per-call cost model choosing the densify strategy (shapes are
+# trace-time constants). Measured v5e rates: searchsorted ~0.66 ms per 1k
+# queries (SERIAL on TPU — 14 s at a 2^21-config's 21 M segments); the
+# run-compaction path pays a second M-element sort (~224 M elts/s) plus
+# two sorted-unique 1-D scatter-sets (~139 M rows/s).
+_SEARCHSORTED_S_PER_QUERY = 0.66e-6
+_SORT_S_PER_ELT = 1.0 / 224e6
+_SCATTER_S_PER_ROW = 1.0 / 139e6
 
-    XLA:TPU lowers scatter-add serially (~13 M updates/s measured on v5e),
-    which would dominate the whole training step; sort (224 M/s), cumsum, and
-    gather are all vectorized, so the transpose is built from those:
+
+def _use_runs_densify(m: int, num_segments: int) -> bool:
+    search_cost = num_segments * _SEARCHSORTED_S_PER_QUERY
+    runs_cost = m * _SORT_S_PER_ELT + 2 * min(m, num_segments) * _SCATTER_S_PER_ROW
+    return runs_cost < search_cost
+
+
+def _segment_sum_sorted(
+    idx: jax.Array,
+    vals: jax.Array,
+    num_segments: int,
+    pack_mode: str = "auto",
+    densify_mode: str = "auto",
+):
+    """Scatter-free segment sum built from sorts: TPU's scatter-add is
+    serial (~13 M updates/s measured on v5e) while sort runs at 224 M
+    elts/s, so the gather transpose is computed as
 
         dW[t] = csum[last index with key <= t] - csum[last index with key < t]
 
-    Cost is one variadic sort of the contributions — the remaining target of
-    the Pallas backward kernel — but ~2 orders of magnitude faster than the
-    XLA scatter it replaces.
+    over key-sorted contributions. Two densify strategies turn that into a
+    dense (T, F) table:
+
+    - ``search`` (small T): ``searchsorted(keys, arange(T))`` — T serial
+      queries on TPU, fine up to ~1e5 segments.
+    - ``runs`` (big T, the 2^21 reference capacity): per-column 1-D cumsums
+      (the (M, F) cumsum pays a 64x lane-padded relayout on TPU), a second
+      sort that compacts each key's run-end cumsum into key order, adjacent
+      diffs for the run sums, and one sorted-unique 1-D scatter-set per
+      feature column (139 M rows/s measured on v5e). Measured on v5e at the
+      reference capacity (134 M contributions, 21 M segments): 12.2 s
+      (search) -> ~2 s (runs).
     """
     f = vals.shape[1]
     pack = f == 2 and (
@@ -367,11 +444,57 @@ def _segment_sum_sorted(
         )
         keys = sorted_ops[0]
         sorted_vals = jnp.stack(sorted_ops[1:], axis=1)
+    if densify_mode == "runs" or (
+        densify_mode == "auto" and _use_runs_densify(idx.size, num_segments)
+    ):
+        return _densify_runs(keys, sorted_vals, num_segments)
     csum = jnp.cumsum(sorted_vals, axis=0)  # (M, F)
     r = jnp.searchsorted(keys, jnp.arange(num_segments, dtype=keys.dtype),
                          side="right")  # (T,)
     s = jnp.where((r > 0)[:, None], csum[jnp.maximum(r - 1, 0)], 0.0)
     return s - jnp.concatenate([jnp.zeros_like(s[:1]), s[:-1]], axis=0)
+
+
+def _densify_runs(keys: jax.Array, sorted_vals: jax.Array, num_segments: int):
+    """Dense (T, F) segment sums from key-sorted contributions, with no
+    T-proportional serial work (see ``_segment_sum_sorted``)."""
+    m = keys.shape[0]
+    f = sorted_vals.shape[1]
+    u = min(m, num_segments)  # static bound on the number of distinct keys
+    # the last contribution of each key's run
+    is_end = jnp.concatenate(
+        [keys[1:] != keys[:-1], jnp.ones((1,), bool)]
+    )
+    # sentinel T sorts after every real key; everything it carries is
+    # discarded below
+    end_key = jnp.where(is_end, keys, jnp.asarray(num_segments, keys.dtype))
+    csums = tuple(jnp.cumsum(sorted_vals[:, j]) for j in range(f))
+    compact = jax.lax.sort((end_key,) + csums, num_keys=1)
+    k_u = compact[0][:u]
+    # when there are fewer than u distinct keys, sentinels reach the [:u]
+    # slice — give each its own out-of-range row so the scatter's indices
+    # stay sorted AND unique, then slice the pad rows off
+    dest = jnp.where(
+        k_u < num_segments,
+        k_u,
+        jnp.asarray(num_segments, k_u.dtype) + jnp.arange(u, dtype=k_u.dtype),
+    )
+    cols = []
+    for j in range(f):
+        ends = compact[1 + j][:u]
+        # consecutive keys' runs are adjacent in the first sort's order, so
+        # each run's sum is the diff of consecutive run-end cumsums
+        run_sums = ends - jnp.concatenate(
+            [jnp.zeros((1,), ends.dtype), ends[:-1]]
+        )
+        cols.append(
+            jnp.zeros((num_segments + u,), ends.dtype)
+            .at[dest]
+            .set(run_sums, indices_are_sorted=True, unique_indices=True)[
+                :num_segments
+            ]
+        )
+    return jnp.stack(cols, axis=1)
 
 
 _hash_encode_core.defvjp(_hash_encode_fwd, _hash_encode_bwd)

@@ -105,6 +105,17 @@ class Trainer:
         self.num_iters = int(config["num_iters"])
         self.print_frequency = int(config.get("print_frequency", 10))
         self.check_numerics = bool(config.get("check_numerics", False))
+        # gradient micro-batching: scan micro-batches of this many rays
+        # inside the step, summing gradients before the one optimizer
+        # update — mathematically the full-batch step (losses are per-ray
+        # means), but peak activation memory and compile time scale with
+        # the micro-batch. Required at the reference capacity (2^21 tables
+        # x 1024 samples: 8.4 M points/step lane-pad past 16 GB HBM).
+        self.micro_batch = int(config.get("micro_batch_size", 0)) or None
+        if self.micro_batch:
+            assert self.batch_size % self.micro_batch == 0, (
+                self.batch_size, self.micro_batch,
+            )
 
         self.rays = dataset.rays()
         self.num_rays = len(dataset)
@@ -301,35 +312,73 @@ class Trainer:
             )
             return self.pipeline.compute_loss(batch, results), results
 
-        (loss, results), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["params"]
-        )
+        pred_keys = ("color_map_fine", "color_map_surf", "color_map_atmo")
+
+        def band_preds(results, mbatch):
+            irgb = mbatch["irgb_idx"][:, None]
+            out = []
+            for name in pred_keys:
+                if name not in results:  # NeRF has no surface/atmo split
+                    out.append(jnp.zeros((irgb.shape[0],), jnp.float32))
+                else:
+                    out.append(
+                        jnp.take_along_axis(results[name], irgb, axis=1)[
+                            :, 0
+                        ].astype(jnp.float32)
+                    )
+            return tuple(out)
+
+        if self.micro_batch and self.micro_batch < self.batch_size and not multi:
+            # gradient micro-batching: the scanned body compiles once at
+            # the micro-batch size; gradients of per-ray-mean losses
+            # average exactly to the full-batch gradient
+            n_micro = self.batch_size // self.micro_batch
+            micro = jax.tree_util.tree_map(
+                lambda v: v.reshape(n_micro, self.micro_batch, *v.shape[1:]),
+                batch,
+            )
+
+            def body(_, inp):
+                i, mbatch = inp
+                mkey = jax.random.fold_in(key, i)
+
+                def lf(params):
+                    results = self.pipeline.forward(
+                        params, mbatch, mkey, aux=state["aux"] or None
+                    )
+                    return self.pipeline.compute_loss(mbatch, results), results
+
+                (l, results), g = jax.value_and_grad(lf, has_aux=True)(
+                    state["params"]
+                )
+                return None, (l, g, band_preds(results, mbatch))
+
+            _, (losses, grads_stacked, preds_stacked) = jax.lax.scan(
+                body, None, (jnp.arange(n_micro), micro)
+            )
+            loss = jnp.mean(losses)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.mean(g, axis=0), grads_stacked
+            )
+            preds = tuple(p.reshape(-1) for p in preds_stacked)
+        else:
+            (loss, results), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["params"]
+            )
+            preds = band_preds(results, batch)
         updates, opt_state = self.optimizer.update(
             grads, state["opt_state"], state["params"]
         )
         params = optax.apply_updates(state["params"], updates)
-
-        irgb = batch["irgb_idx"][:, None]
-
-        def band_pred(name):
-            if name not in results:  # NeRF has no surface/atmo split
-                return jnp.zeros((irgb.shape[0],), jnp.float32)
-            return jnp.take_along_axis(results[name], irgb, axis=1)[:, 0]
 
         idx = batch["idx"]
         new_state = {
             "params": params,
             "opt_state": opt_state,
             "aux": state["aux"],
-            "pred_pixels": state["pred_pixels"]
-            .at[idx]
-            .set(band_pred("color_map_fine").astype(jnp.float32)),
-            "pred_pixels_surf": state["pred_pixels_surf"]
-            .at[idx]
-            .set(band_pred("color_map_surf").astype(jnp.float32)),
-            "pred_pixels_atmo": state["pred_pixels_atmo"]
-            .at[idx]
-            .set(band_pred("color_map_atmo").astype(jnp.float32)),
+            "pred_pixels": state["pred_pixels"].at[idx].set(preds[0]),
+            "pred_pixels_surf": state["pred_pixels_surf"].at[idx].set(preds[1]),
+            "pred_pixels_atmo": state["pred_pixels_atmo"].at[idx].set(preds[2]),
         }
         return new_state, loss
 

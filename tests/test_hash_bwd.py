@@ -116,6 +116,27 @@ def test_segment_sum_sorted_empty_segments():
     assert np.abs(np.delete(out, 5, axis=0)).max() == 0.0
 
 
+@pytest.mark.parametrize("m,t", [(10000, 257), (500, 2048), (3, 10)])
+def test_segment_sum_runs_densify_matches_scatter(m, t):
+    """The big-table densify (run compaction + sorted-unique scatter-set,
+    the 2^21 reference-capacity path) vs a plain scatter reference —
+    covering m > t (sentinel-free), m < t (sentinel pad rows), and the
+    tiny empty-segments case."""
+    rng = np.random.default_rng(1)
+    f = 2
+    idx = jnp.asarray(rng.integers(0, t, m), jnp.int32)
+    vals = jnp.asarray(rng.normal(size=(m, f)), jnp.float32)
+    ref = np.zeros((t, f), np.float64)
+    np.add.at(ref, np.asarray(idx), np.asarray(vals, np.float64))
+    out = _segment_sum_sorted(idx, vals, t, densify_mode="runs")
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-3)
+    # both densify strategies agree exactly (same sort, same adds)
+    out_search = _segment_sum_sorted(idx, vals, t, densify_mode="search")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_search), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_hash_bwd_sorted_equals_autodiff_reference():
     """Force the sorted path (as used on TPU) and compare to plain scatter."""
     cfg = hg.HashGridConfig(

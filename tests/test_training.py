@@ -2,6 +2,7 @@
 metrics, checkpoint/resume."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -158,6 +159,55 @@ def test_trainer_preemption_checkpoints_and_resumes(dataset, tmp_path):
     trainer2 = Trainer(cfg, dataset, pipe, "preempt_exp", data_root=tmp_path)
     trainer2.load(out)
     assert trainer2.iter_count == trainer.iter_count
+
+
+def test_micro_batch_grads_match_full_batch(dataset):
+    """Gradient micro-batching (the reference-capacity memory path) is
+    mathematically the full-batch step: per-ray-mean losses average
+    exactly, verified here at the pipeline level with deterministic
+    sampling (key=None)."""
+    from atmonr_tpu.data.batching import batch_at_step, epoch_permutation
+
+    pipe = get_pipeline(NGP_CONFIG, dataset)
+    params = pipe.init_params(jax.random.PRNGKey(1))
+    rays = dataset.rays()
+    b, mb = 64, 16
+    perm = epoch_permutation(jax.random.PRNGKey(0), dataset.num_rays, b)
+    batch = batch_at_step(rays, perm, jnp.asarray(0), b)
+
+    def loss_of(bt):
+        def lf(p):
+            return pipe.compute_loss(bt, pipe.forward(p, bt, key=None))
+        return lf
+
+    g_full = jax.jit(jax.grad(loss_of(batch)))(params)
+    micro = jax.tree_util.tree_map(
+        lambda v: v.reshape(b // mb, mb, *v.shape[1:]), batch
+    )
+    g_micro = [
+        jax.jit(jax.grad(loss_of(jax.tree_util.tree_map(lambda v, i=i: v[i], micro))))(
+            params
+        )
+        for i in range(b // mb)
+    ]
+    g_mean = jax.tree_util.tree_map(
+        lambda *gs: sum(gs) / len(gs), *g_micro
+    )
+    for leaf_full, leaf_mean in zip(
+        jax.tree_util.tree_leaves(g_full), jax.tree_util.tree_leaves(g_mean)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(leaf_full), np.asarray(leaf_mean), rtol=2e-4, atol=1e-6
+        )
+
+
+def test_trainer_micro_batching_trains(dataset, tmp_path):
+    """Trainer with micro_batch_size set: runs, checkpoints, loss finite."""
+    cfg = dict(TRAINER_CONFIG, num_iters=4, batch_size=64, micro_batch_size=16)
+    pipe = get_pipeline(NGP_CONFIG, dataset)
+    trainer = Trainer(cfg, dataset, pipe, "micro_test", data_root=tmp_path)
+    trainer.train(tmp_path / "out_micro")
+    assert trainer.iter_count == 4
 
 
 def test_trainer_loss_decreases(dataset, tmp_path):

@@ -54,6 +54,7 @@ def main() -> None:
 
     batch_size, iters = 8192, 5
     config_path = "configs/instant_ngp.json"
+    stages = "all"
     for a in sys.argv[1:]:
         k, _, v = a.partition("=")
         if k == "batch":
@@ -62,6 +63,11 @@ def main() -> None:
             iters = int(v)
         elif k == "config":
             config_path = v
+        elif k == "stage":
+            # "step" compiles/times only the full train step — the other
+            # stages each pay their own multi-minute server compile at
+            # batch=8192, which blows any sane timeout
+            stages = v
 
     cfg = load_config(config_path)
     granule = make_synthetic_granule(height=96, width=48, views_per_band=2)
@@ -86,39 +92,42 @@ def main() -> None:
 
     pts = jax.random.uniform(jax.random.PRNGKey(2), (m, 3))
     key = jax.random.PRNGKey(3)
-
-    # (a) encode fwd alone
-    enc = jax.jit(lambda p, x: hg.hash_encode(p["pos_table"], x, pipe.pos_cfg))
-    t_fwd = timeit("encode_fwd", lambda: enc(params, pts), iters)
     rows = m * pipe.pos_cfg.n_levels * 8
-    print(
-        f"  -> {rows / t_fwd / 1e6:.0f} M corner-gathers/s", flush=True
-    )
 
-    # (b) full pipeline forward + loss
     aux = pipe.init_aux() or None
     fwd = jax.jit(
         lambda p: pipe.compute_loss(
             batch, pipe.forward(p, batch, key=key, aux=aux)
         )
     )
-    timeit("pipeline_fwd", lambda: fwd(params), iters)
+    if stages == "all":
+        # (a) encode fwd alone
+        enc = jax.jit(
+            lambda p, x: hg.hash_encode(p["pos_table"], x, pipe.pos_cfg)
+        )
+        t_fwd = timeit("encode_fwd", lambda: enc(params, pts), iters)
+        print(
+            f"  -> {rows / t_fwd / 1e6:.0f} M corner-gathers/s", flush=True
+        )
 
-    # (c) encode bwd alone (cotangent of ones)
-    g = jnp.ones((m, pipe.pos_cfg.n_output_dims), jnp.float32)
-    enc_bwd = jax.jit(
-        lambda p, x: jax.vjp(
-            lambda t: hg.hash_encode(t, x, pipe.pos_cfg), p["pos_table"]
-        )[1](g)[0]
-    )
-    t_bwd = timeit("encode_bwd", lambda: enc_bwd(params, pts), iters)
-    print(
-        f"  -> {rows / t_bwd / 1e6:.0f} M contributions/s", flush=True
-    )
+        # (b) full pipeline forward + loss
+        timeit("pipeline_fwd", lambda: fwd(params), iters)
 
-    # (d) full grad
-    grad = jax.jit(lambda p: jax.grad(fwd)(p))
-    timeit("full_grad", lambda: grad(params), iters)
+        # (c) encode bwd alone (cotangent of ones)
+        g = jnp.ones((m, pipe.pos_cfg.n_output_dims), jnp.float32)
+        enc_bwd = jax.jit(
+            lambda p, x: jax.vjp(
+                lambda t: hg.hash_encode(t, x, pipe.pos_cfg), p["pos_table"]
+            )[1](g)[0]
+        )
+        t_bwd = timeit("encode_bwd", lambda: enc_bwd(params, pts), iters)
+        print(
+            f"  -> {rows / t_bwd / 1e6:.0f} M contributions/s", flush=True
+        )
+
+        # (d) full grad
+        grad = jax.jit(lambda p: jax.grad(fwd)(p))
+        timeit("full_grad", lambda: grad(params), iters)
 
     # (e) full train step
     opt = pipe.make_optimizer(cfg["trainer"]["optimizer"], 1e-2)
