@@ -340,7 +340,7 @@ class InstantNGPPipeline(Pipeline):
                 "surf_mlp": full(params["surf_mlp"], True),
             }
 
-        return optax.adamw(
+        opt = optax.adamw(
             learning_rate=lr_schedule,
             b1=b1,
             b2=b2,
@@ -348,3 +348,14 @@ class InstantNGPPipeline(Pipeline):
             weight_decay=optimizer_config.get("weight_decay", 0.0),
             mask=decay_mask,
         )
+        clip = optimizer_config.get("clip_global_norm")
+        if clip:
+            # divergence guard: the tcnn-style eps=1e-15 makes early AdamW
+            # updates near-sign-magnitude (~lr per param) while 2nd moments
+            # are tiny, which can drive the density MLP into a dead-ReLU
+            # collapse on unlucky seeds (reproduced + isolated in
+            # tools/repro_occ15_collapse.py: loss pins at ~1.7 with
+            # grad-norm ~1e-3 from iter ~50; clip 1.0 fully recovers it,
+            # PSNR 35.1 -> 48.8)
+            opt = optax.chain(optax.clip_by_global_norm(float(clip)), opt)
+        return opt

@@ -161,6 +161,33 @@ def test_trainer_preemption_checkpoints_and_resumes(dataset, tmp_path):
     assert trainer2.iter_count == trainer.iter_count
 
 
+def test_optimizer_clip_global_norm_guard(dataset):
+    """The clip_global_norm optimizer option (the occ15 dead-ReLU-collapse
+    guard, tools/repro_occ15_collapse.py) is plumbed and changes the
+    update trajectory. Adam is invariant to a constant whole-gradient
+    rescale within a single step, so the check runs two steps with
+    different gradient norms."""
+    pipe = get_pipeline(NGP_CONFIG, dataset)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    base = {"lr": 1e-2, "betas": (0.9, 0.99), "eps": 1e-15}
+    outs = {}
+    for name, cfg in [("clip", dict(base, clip_global_norm=1.0)),
+                      ("none", base)]:
+        opt = pipe.make_optimizer(cfg, 1e-2)
+        state = opt.init(params)
+        g_big = jax.tree_util.tree_map(lambda p: jnp.full_like(p, 50.0), params)
+        g_small = jax.tree_util.tree_map(lambda p: jnp.full_like(p, 0.01), params)
+        _, state = opt.update(g_big, state, params)
+        u2, _ = opt.update(g_small, state, params)
+        outs[name] = u2
+    diffs = [
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree_util.tree_leaves(outs["clip"]),
+                        jax.tree_util.tree_leaves(outs["none"]))
+    ]
+    assert max(diffs) > 1e-6
+
+
 def test_micro_batch_grads_match_full_batch(dataset):
     """Gradient micro-batching (the reference-capacity memory path) is
     mathematically the full-batch step: per-ray-mean losses average
