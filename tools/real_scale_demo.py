@@ -109,8 +109,11 @@ def main() -> None:
     aux_every = pipe.occ_cfg.update_every if getattr(pipe, "occ_cfg", None) else 0
     aux_update = jax.jit(pipe.update_aux)
 
+    # rays MUST be an argument, not a closure constant: closed-over arrays
+    # bake into the HLO as literals, and this relay rejects the resulting
+    # ~600 MB compile request (HTTP 413)
     @jax.jit
-    def step(params, opt_state, aux, perm, i, key):
+    def step(params, opt_state, aux, rays, perm, i, key):
         batch = batch_at_step(rays, perm, i % steps_per_epoch, b)
 
         def loss_fn(p):
@@ -124,7 +127,7 @@ def main() -> None:
     key = jax.random.PRNGKey(1)
     perm = epoch_permutation(jax.random.PRNGKey(2), ds.num_rays, b)
     t0 = time.perf_counter()
-    params, opt_state, loss = step(params, opt_state, aux, perm,
+    params, opt_state, loss = step(params, opt_state, aux, rays, perm,
                                    jnp.asarray(0), key)
     if aux_every:
         aux = aux_update(params, aux, key)
@@ -132,14 +135,14 @@ def main() -> None:
     report["compile_s"] = round(time.perf_counter() - t0, 1)
     # warm the transport before timing (docs/performance.md)
     for i in range(1, 60):
-        params, opt_state, loss = step(params, opt_state, aux, perm,
+        params, opt_state, loss = step(params, opt_state, aux, rays, perm,
                                        jnp.asarray(i), jax.random.fold_in(key, i))
         if aux_every and i % aux_every == 0:
             aux = aux_update(params, aux, jax.random.fold_in(key, 9999 + i))
     float(loss)
     t0 = time.perf_counter()
     for i in range(60, 60 + steps):
-        params, opt_state, loss = step(params, opt_state, aux, perm,
+        params, opt_state, loss = step(params, opt_state, aux, rays, perm,
                                        jnp.asarray(i), jax.random.fold_in(key, i))
         if aux_every and i % aux_every == 0:
             aux = aux_update(params, aux, jax.random.fold_in(key, 9999 + i))
