@@ -20,9 +20,10 @@ Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md); the
-denominator is a documented estimate of the reference's single-GPU
-throughput: ~1e5 rays/s for tiny-cuda-nn fwd+bwd at its work rate on a
-32 GB A100-class GPU (8.4 M point evals/iter at ~0.08 s/iter).
+1e5 rays/s denominator is pinned by an A100 HBM roofline (<= ~1.24e5
+rays/s for 1.07e9 random table reads + atomicAdds per step) and a
+measured torch-CPU anchor (71.5 rays/s, tools/baseline_denominator.py) —
+full derivation in BASELINE.md "The vs_baseline denominator".
 """
 
 from __future__ import annotations
