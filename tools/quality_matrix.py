@@ -28,6 +28,11 @@ VARIANTS = {
     "occ13_32p24f": "configs/instant_ngp_tpu_occ13.json",
     "occ13_q8": "configs/instant_ngp_tpu_occ13_q8.json",
     "occ13_q8sr": "configs/instant_ngp_tpu_occ13_q8sr.json",
+    # reference table capacity (2^21) with the TPU occupancy sampler — at
+    # matched wall-clock the reference's own uniform-1024 config manages
+    # only ~4 iterations/minute (498 rays/s), so occ21 is the only
+    # trainable configuration at this capacity on one chip
+    "occ21": "configs/instant_ngp_occ21.json",
 }
 SCENES = {"smooth": 1, "hard": 40}
 MAX_ITERS = 200_000  # the wall-clock budget is the real stop
