@@ -213,6 +213,40 @@ def write_synthetic_earthcare(
             ds.attrs["_FillValue"] = np.array([-9999.0])
 
 
+def write_synthetic_dem(
+    path: str | Path,
+    height: np.ndarray,
+    water_surface_height: np.ndarray | None = None,
+    upper_lat: float = 25.0,
+    left_lon: float = -45.0,
+    lat_res: float = 0.25,
+    lon_res: float = 0.25,
+) -> None:
+    """Write a DEM in the ETOPO1_ocssw.nc layout the voxelgrid extraction
+    reads (``extract.datasets.interp_dem_height``; reference
+    harp2_extract.py:350-426): root attrs ``upper_lat``/``left_lon``/
+    ``geospatial_lat_resolution``/``geospatial_lon_resolution`` plus the 2-D
+    ``height`` and ``water_surface_height`` datasets (rows run north to
+    south from ``upper_lat``)."""
+    import h5py
+
+    height = np.asarray(height, np.float64)
+    if water_surface_height is None:
+        water_surface_height = np.full_like(height, -1.0e4)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with h5py.File(path, "w") as f:
+        f.attrs["upper_lat"] = float(upper_lat)
+        f.attrs["left_lon"] = float(left_lon)
+        f.attrs["geospatial_lat_resolution"] = float(lat_res)
+        f.attrs["geospatial_lon_resolution"] = float(lon_res)
+        f.create_dataset("height", data=height)
+        f.create_dataset(
+            "water_surface_height",
+            data=np.asarray(water_surface_height, np.float64),
+        )
+
+
 def write_granule_l1b_real_schema(
     path: str | Path,
     height: int = 16,

@@ -210,6 +210,9 @@ def global_grid_dump(output_filepath: Path, extract_dataset, sigma) -> None:
             "Unable to import OpenVDB Python bindings, exporting to "
             f"{voxel_filepath} and {sigma_filepath} instead."
         )
+        for p in (voxel_filepath, sigma_filepath):
+            if p.exists():
+                warnings.warn(f"overwriting existing extract output {p}")
         np.save(voxel_filepath, extract_dataset.voxels, allow_pickle=False)
         np.save(sigma_filepath, sigma, allow_pickle=False)
         return

@@ -457,7 +457,18 @@ def _segment_sum_sorted(
 
 def _densify_runs(keys: jax.Array, sorted_vals: jax.Array, num_segments: int):
     """Dense (T, F) segment sums from key-sorted contributions, with no
-    T-proportional serial work (see ``_segment_sum_sorted``)."""
+    T-proportional serial work (see ``_segment_sum_sorted``).
+
+    Precision note (r3 ADVICE): both densify strategies form each run's sum
+    as a difference of a single f32 running cumsum over all M contributions,
+    so a late run's absolute error is ~M * eps_f32 * mean|grad| in the worst
+    case (M ~ 8.4e6 at the reference working point after micro-batching:
+    relative error ~1e-3 of the PREFIX magnitude, i.e. noise comparable to
+    the bf16 gather-row quantization also active on that path, and far
+    below Adam's 1/sqrt(v) normalization scale). Random gradient signs make
+    the prefix a random walk (error ~ sqrt(M)), not a linear accumulation.
+    If table-gradient noise at capacity ever becomes visible, segment the
+    cumsum per chunk or use Kahan-pair accumulation here."""
     m = keys.shape[0]
     f = sorted_vals.shape[1]
     u = min(m, num_segments)  # static bound on the number of distinct keys

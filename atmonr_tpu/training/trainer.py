@@ -111,11 +111,9 @@ class Trainer:
         # means), but peak activation memory and compile time scale with
         # the micro-batch. Required at the reference capacity (2^21 tables
         # x 1024 samples: 8.4 M points/step lane-pad past 16 GB HBM).
-        self.micro_batch = int(config.get("micro_batch_size", 0)) or None
-        if self.micro_batch:
-            assert self.batch_size % self.micro_batch == 0, (
-                self.batch_size, self.micro_batch,
-            )
+        self.micro_batch = self._normalize_micro(
+            int(config.get("micro_batch_size", 0)) or None, self.batch_size
+        )
 
         self.rays = dataset.rays()
         self.num_rays = len(dataset)
@@ -168,6 +166,53 @@ class Trainer:
         self._train_step = self._make_train_step()
         # multi-host: one console narrator (logging is gated the same way)
         self._print = print if jax.process_index() == 0 else (lambda *a, **k: None)
+
+    @staticmethod
+    def _normalize_micro(
+        micro: int | None, batch_size: int, n_data: int = 1
+    ) -> int | None:
+        """Fit a configured micro-batch size to the (possibly clamped)
+        batch size: the scanned body needs ``batch_size % micro == 0`` and,
+        under a mesh, shard_map needs equal per-chip micro shards
+        (``micro % n_data == 0``). A config tuned for the full-size granule
+        must not crash on a small one — shrink to the largest valid divisor
+        (or disable) with a warning instead."""
+        if not micro:
+            return None
+        if micro >= batch_size:
+            if micro > batch_size:
+                import warnings
+
+                warnings.warn(
+                    f"micro_batch_size {micro} >= batch_size {batch_size}; "
+                    "micro-batching disabled."
+                )
+            return None
+        if batch_size % micro == 0 and micro % n_data == 0:
+            return micro
+        fitted = next(
+            (
+                d
+                for d in range(micro, 0, -1)
+                if batch_size % d == 0 and d % n_data == 0
+            ),
+            None,
+        )
+        import warnings
+
+        if fitted is None or fitted == batch_size:
+            warnings.warn(
+                f"micro_batch_size {micro} has no valid divisor of "
+                f"batch_size {batch_size} on {n_data} data shards; "
+                "micro-batching disabled."
+            )
+            return None
+        warnings.warn(
+            f"micro_batch_size {micro} does not divide batch_size "
+            f"{batch_size} into whole {n_data}-shard micro-batches; "
+            f"shrinking to {fitted}."
+        )
+        return fitted
 
     def place(self, device) -> None:
         """Pin this trainer's rays + state to one device without a mesh.
@@ -237,6 +282,13 @@ class Trainer:
         self.batch_size = min(self.batch_size, self.num_rays)
         self.batch_size -= self.batch_size % n_data
         assert self.batch_size > 0, (self.num_rays, n_data)
+        # micro-batching composes with the mesh (the scanned body wraps the
+        # shard_map forward), but each micro-batch must itself split into
+        # equal per-chip shards — refit to the trimmed batch under that
+        # extra constraint
+        self.micro_batch = self._normalize_micro(
+            self.micro_batch, self.batch_size, n_data
+        )
         self.steps_per_epoch = max(1, self.num_rays // self.batch_size)
         self.num_epochs = -(-self.num_iters // self.steps_per_epoch)
         self.state = replicate(self.state, mesh)
@@ -287,30 +339,30 @@ class Trainer:
         multi = mesh is not None and mesh.devices.size > 1
         sample_sharded = multi and dict(mesh.shape).get("sample", 1) > 1
 
-        def loss_fn(params):
+        def batch_loss(params, bat, k):
             if sample_sharded:
                 from atmonr_tpu.parallel.train import (
                     ngp_forward_sample_sharded,
                 )
 
                 results = ngp_forward_sample_sharded(
-                    self.pipeline, params, batch, mesh, key,
+                    self.pipeline, params, bat, mesh, k,
                     aux=state["aux"] or None,
                 )
-                return self.pipeline.compute_loss(batch, results), results
+                return self.pipeline.compute_loss(bat, results), results
             if multi:
                 from atmonr_tpu.parallel.train import (
                     forward_loss_data_sharded,
                 )
 
                 return forward_loss_data_sharded(
-                    self.pipeline, params, batch, mesh, key,
+                    self.pipeline, params, bat, mesh, k,
                     aux=state["aux"] or None,
                 )
             results = self.pipeline.forward(
-                params, batch, key, aux=state["aux"] or None
+                params, bat, k, aux=state["aux"] or None
             )
-            return self.pipeline.compute_loss(batch, results), results
+            return self.pipeline.compute_loss(bat, results), results
 
         pred_keys = ("color_map_fine", "color_map_surf", "color_map_atmo")
 
@@ -328,10 +380,14 @@ class Trainer:
                     )
             return tuple(out)
 
-        if self.micro_batch and self.micro_batch < self.batch_size and not multi:
+        if self.micro_batch and self.micro_batch < self.batch_size:
             # gradient micro-batching: the scanned body compiles once at
             # the micro-batch size; gradients of per-ray-mean losses
-            # average exactly to the full-batch gradient
+            # average exactly to the full-batch gradient. Under a mesh the
+            # body routes through the same shard_map forward as the
+            # full-batch path (scan-of-shard_map), so the reference-capacity
+            # config that NEEDS micro-batching for memory keeps it when
+            # trained with --mesh (r3 VERDICT: it was silently ignored).
             n_micro = self.batch_size // self.micro_batch
             micro = jax.tree_util.tree_map(
                 lambda v: v.reshape(n_micro, self.micro_batch, *v.shape[1:]),
@@ -342,15 +398,9 @@ class Trainer:
                 i, mbatch = inp
                 mkey = jax.random.fold_in(key, i)
 
-                def lf(params):
-                    results = self.pipeline.forward(
-                        params, mbatch, mkey, aux=state["aux"] or None
-                    )
-                    return self.pipeline.compute_loss(mbatch, results), results
-
-                (l, results), g = jax.value_and_grad(lf, has_aux=True)(
-                    state["params"]
-                )
+                (l, results), g = jax.value_and_grad(
+                    batch_loss, has_aux=True
+                )(state["params"], mbatch, mkey)
                 return None, (l, g, band_preds(results, mbatch))
 
             _, (losses, grads_stacked, preds_stacked) = jax.lax.scan(
@@ -362,9 +412,9 @@ class Trainer:
             )
             preds = tuple(p.reshape(-1) for p in preds_stacked)
         else:
-            (loss, results), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state["params"]
-            )
+            (loss, results), grads = jax.value_and_grad(
+                batch_loss, has_aux=True
+            )(state["params"], batch, key)
             preds = band_preds(results, batch)
         updates, opt_state = self.optimizer.update(
             grads, state["opt_state"], state["params"]

@@ -67,11 +67,84 @@ def test_l1c_extract_grid(dataset):
     assert alt.min() > -50 and alt.max() < 20500
 
 
-def test_voxelgrid_extract_spacing(dataset):
-    ex = get_extract_dataset(
-        "voxelgrid", dataset, horizontal_step=3000.0, alt_step=5000.0
+def test_interp_dem_height_bilinear(tmp_path):
+    """DEM bilinear interpolation against hand-computed values on a
+    schema-faithful ETOPO1-layout fixture (reference
+    harp2_extract.py:350-426), covering the plain bilinear case, the
+    water-surface max branch, and the clip-at-zero floor."""
+    from atmonr_tpu.data.synthetic import write_synthetic_dem
+    from atmonr_tpu.extract.datasets import interp_dem_height
+
+    height = np.arange(16, dtype=np.float64).reshape(4, 4) * 10.0
+    height[2, 2] = -100.0  # bathymetry: exercises the >= 0 clip
+
+    # land-only DEM (water surface far below every height)
+    land = tmp_path / "dem_land.nc"
+    write_synthetic_dem(
+        land, height, upper_lat=21.0, left_lon=-41.0, lat_res=0.5, lon_res=0.5
     )
+    # lat 20.8 -> row 0.4, lon -40.9 -> col 0.2: corners 0/10/40/50
+    # -> 0.6*0.8*0 + 0.6*0.2*10 + 0.4*0.8*40 + 0.4*0.2*50 = 18.0
+    out = interp_dem_height(
+        land, np.array([[20.8]]), np.array([[-40.9]])
+    )
+    np.testing.assert_allclose(out, [[18.0]], rtol=1e-12)
+    # exactly on the negative grid point (row 2, col 2): clipped to 0
+    out = interp_dem_height(land, np.array([20.0]), np.array([-40.0]))
+    np.testing.assert_allclose(out, [0.0])
+
+    # water-covered DEM: water_surface_height 65 m wins over low land
+    water = tmp_path / "dem_water.nc"
+    write_synthetic_dem(
+        water,
+        height,
+        water_surface_height=np.full((4, 4), 65.0),
+        upper_lat=21.0,
+        left_lon=-41.0,
+        lat_res=0.5,
+        lon_res=0.5,
+    )
+    # lat 20.3 -> row 1.4, lon -40.4 -> col 1.2: corners
+    # max(50,65)/max(60,65)/max(90,65)/max(-100,65) ->
+    # 0.6*0.8*65 + 0.6*0.2*65 + 0.4*0.8*90 + 0.4*0.2*65 = 73.0
+    out = interp_dem_height(water, np.array([20.3]), np.array([-40.4]))
+    np.testing.assert_allclose(out, [73.0], rtol=1e-12)
+
+
+def test_interp_dem_height_missing_file_falls_back(tmp_path):
+    from atmonr_tpu.extract.datasets import interp_dem_height
+
+    with pytest.warns(UserWarning, match="using zero surface heights"):
+        out = interp_dem_height(
+            tmp_path / "nope.nc", np.ones((2, 3)), np.ones((2, 3))
+        )
+    assert out.shape == (2, 3) and (out == 0).all()
+
+
+def test_voxelgrid_extract_spacing(dataset, tmp_path):
+    import warnings
+
+    from atmonr_tpu.data.synthetic import write_synthetic_dem
+
+    # schema-faithful DEM covering the synthetic swath: the extraction must
+    # take the real bilinear path, not the zero-height fallback
+    lat_res = lon_res = 0.1
+    n_lat, n_lon = 32, 44
+    rows = np.arange(n_lat)[:, None] * np.ones((1, n_lon))
+    dem_height = 100.0 + 50.0 * np.sin(rows / 3.0)
+    dem_path = tmp_path / "ETOPO1_ocssw.nc"
+    write_synthetic_dem(
+        dem_path, dem_height, upper_lat=22.0, left_lon=-42.0,
+        lat_res=lat_res, lon_res=lon_res,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any fallback warning fails the test
+        ex = get_extract_dataset(
+            "voxelgrid", dataset, horizontal_step=3000.0, alt_step=5000.0,
+            dem_path=dem_path,
+        )
     assert len(ex) > 0
+    assert ex.height.min() > 40.0  # real DEM heights, not the zero fallback
     nrows, ncols, nalt = ex.shp
     assert nrows >= 2 and ncols >= 2
     # Vincenty-built grid: horizontal neighbor spacing close to the step
