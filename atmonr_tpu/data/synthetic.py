@@ -252,6 +252,7 @@ def write_granule_l1b_real_schema(
     height: int = 16,
     width: int = 10,
     seed: int = 0,
+    n_blobs: int = 1,
 ) -> None:
     """Write a synthetic granule in the REAL PACE_HARP2 L1B file schema.
 
@@ -297,11 +298,28 @@ def write_granule_l1b_real_schema(
         (1, height, width)
     )
 
-    # radiance: smooth cloud + per-band surface term + sensor noise
+    # radiance: smooth cloud + per-band surface term + sensor noise.
+    # n_blobs > 1 builds the multi-scale broken-cloud field instead (same
+    # construction as make_synthetic_granule's hard scene) so quality
+    # comparisons at real-granule scale have structure that discriminates
+    # capacity and sampling strategy.
     yy, xx = np.meshgrid(
         np.linspace(-1, 1, height), np.linspace(-1, 1, width), indexing="ij"
     )
-    cloud = np.exp(-((yy**2 + xx**2) / 0.18))
+    if n_blobs <= 1:
+        cloud = np.exp(-((yy**2 + xx**2) / 0.18))
+    else:
+        cloud = np.zeros((height, width))
+        min_s = 2.0 * 2.0 / max(height, width)  # ~2-pixel cells at the floor
+        for _ in range(n_blobs):
+            by, bx = rng.uniform(-0.9, 0.9, 2)
+            sy = np.exp(rng.uniform(np.log(min_s), np.log(0.5)))
+            sx = np.exp(rng.uniform(np.log(min_s), np.log(0.5)))
+            amp = rng.uniform(0.3, 1.0)
+            cloud += amp * np.exp(
+                -(((yy - by) / sy) ** 2 + ((xx - bx) / sx) ** 2)
+            )
+        cloud = np.clip(cloud, 0.0, 1.5) / 1.5
     i_rad = (
         0.3
         + 0.1 * bands[:, None, None]

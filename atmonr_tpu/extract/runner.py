@@ -19,13 +19,26 @@ def run_extraction(
     extract_dataset,
     batch_size: int = 32768,
     verbose: bool = False,
+    mesh=None,
 ) -> np.ndarray:
     """Query ``pipeline.extract`` over all grid points.
 
     Returns sigma (num_points, num_density_outputs) in m^-1 units.
+
+    ``mesh`` shards each point batch over every mesh axis jointly (grid
+    points are i.i.d., so extraction is embarrassingly parallel): the
+    per-chip ``pipeline.extract`` runs inside a ``shard_map`` so the Pallas
+    hash kernels see shard-local shapes and scale instead of being
+    replicated (same rationale as ``parallel.train``). Values match the
+    single-device query exactly — extraction is deterministic.
     """
     scale = pipeline.scale
     offset = np.asarray(pipeline.offset, np.float64)
+
+    n_shards = 1
+    if mesh is not None and mesh.devices.size > 1:
+        n_shards = int(mesh.devices.size)
+        batch_size = max(batch_size - batch_size % n_shards, n_shards)
 
     xyz = extract_dataset.xyz
     n = xyz.shape[0]
@@ -35,9 +48,29 @@ def run_extraction(
     if pad:
         pts_all = np.concatenate([pts_all, np.zeros((pad, 3), np.float32)])
 
-    @jax.jit
-    def extract_batch(params, pts):
-        return pipeline.extract(params, pts) / scale
+    if n_shards > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axes = tuple(mesh.axis_names)
+        # checkpoint-restored params are COMMITTED to one device; replicate
+        # them over the mesh or the jitted shard_map rejects the placement
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+
+        @jax.jit
+        def extract_batch(params, pts):
+            return jax.shard_map(
+                lambda p, x: pipeline.extract(p, x) / scale,
+                mesh=mesh,
+                in_specs=(P(), P(axes)),
+                out_specs=P(axes),
+                check_vma=False,
+            )(params, pts)
+
+    else:
+
+        @jax.jit
+        def extract_batch(params, pts):
+            return pipeline.extract(params, pts) / scale
 
     out = []
     for i in range(nb):

@@ -434,6 +434,19 @@ class Trainer:
 
     # -- the epoch loop ------------------------------------------------------
 
+    def _log_loss_block(self, step: int, mean_arr: Any) -> None:
+        """Emit one print block's mean loss (scalar log + console line).
+        ``mean_arr`` is the device-side block mean ENQUEUED at the block
+        boundary and fetched here one block later — by then it is computed,
+        so the fetch is a single ready-buffer transfer."""
+        mean_loss = float(mean_arr)
+        self.logger.scalar("Loss", mean_loss, step)
+        line = f"{step}/{self.num_iters} | Loss: {mean_loss:.5f}"
+        self._print(
+            line + max(0, self._last_len - len(line)) * " ", end="\r"
+        )
+        self._last_len = len(line)
+
     def install_preemption_handler(self) -> None:
         """Preemption-safe training: on SIGTERM (the TPU-pod maintenance /
         spot-reclaim signal), finish the in-flight step, write a checkpoint,
@@ -460,7 +473,14 @@ class Trainer:
         output_path = Path(output_path)
         output_path.mkdir(parents=True, exist_ok=True)
         running: list[Any] = []
-        last_len = 0
+        # loss logging lags ONE print block: fetching the current block's
+        # mean would enqueue a reduction behind the in-flight steps and
+        # stall the async dispatch queue (measured 12% of steady-state
+        # throughput, tools/bench_trainer.py); a block that is
+        # print_frequency steps old is already computed, so its device
+        # scalars fetch without draining the queue
+        prev_block: tuple[int, list[Any]] | None = None
+        self._last_len = 0
         profiling = False
         if profile:
             jax.profiler.start_trace(str(self.tensorboard_dir))
@@ -488,21 +508,22 @@ class Trainer:
                 running = running[-self.print_frequency :] + [loss]
                 yield self.iter_count
                 if self.iter_count % self.print_frequency == 0:
-                    mean_loss = float(jnp.mean(jnp.stack(running)))
-                    self.logger.scalar("Loss", mean_loss, self.iter_count)
-                    line = (
-                        f"{self.iter_count}/{self.num_iters} | "
-                        f"Loss: {mean_loss:.5f}"
+                    if prev_block is not None:
+                        self._log_loss_block(*prev_block)
+                    # dispatch-only: the tiny mean kernel queues behind the
+                    # in-flight steps and is ready when fetched next block
+                    prev_block = (
+                        self.iter_count, jnp.mean(jnp.stack(running))
                     )
-                    self._print(
-                        line + max(0, last_len - len(line)) * " ", end="\r"
-                    )
-                    last_len = len(line)
                 if self.iter_count >= self.num_iters or self._preempted:
                     break
 
+            if prev_block is not None:  # epoch end syncs anyway; flush
+                self._log_loss_block(*prev_block)
+                prev_block = None
             self.epoch_idx += 1
-            self._end_of_epoch(last_len)
+            self._end_of_epoch(self._last_len)
+            self._last_len = 0
             self.save(output_path, self.epoch_idx)
             if profiling:
                 jax.profiler.stop_trace()

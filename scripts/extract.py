@@ -44,6 +44,14 @@ def parse_args() -> argparse.Namespace:
         type=lambda s: [int(v) for v in s.split(",")],
     )
     parser.add_argument("--data-root", type=str, default="data")
+    parser.add_argument(
+        "--mesh",
+        type=str,
+        default=None,
+        help="Device mesh spec 'data=N' or 'data=N,sample=M': shard the "
+        "extraction query batches over all mesh devices (large globalgrid/"
+        "fine-voxelgrid extractions are embarrassingly parallel).",
+    )
     args = parser.parse_args()
     args.coord_mode = args.coord_mode.lower()
     assert args.alt_step > 0 and args.horizontal_step > 0
@@ -100,8 +108,15 @@ def main() -> None:
     params0 = pipeline.init_params(jax.random.PRNGKey(0))
     params = restore_params(output_path, params0)
 
+    mesh = None
+    if args.mesh:
+        from atmonr_tpu.parallel.mesh import make_mesh_from_spec
+
+        mesh = make_mesh_from_spec(args.mesh)
+
     sigma = run_extraction(
-        pipeline, params, extract_dataset, args.batch_size, verbose=True
+        pipeline, params, extract_dataset, args.batch_size, verbose=True,
+        mesh=mesh,
     )
     extract_dataset.dump(output_path / args.extract_filename, sigma)
     print(f"wrote {output_path / args.extract_filename}")

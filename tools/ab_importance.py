@@ -21,6 +21,7 @@ def run(
     n_blobs: int = 1,
     seed: int = 0,
     seconds: float | None = None,
+    dataset=None,
 ) -> dict:
     """Train one variant and score deterministic PSNR/SSIM.
 
@@ -30,6 +31,10 @@ def run(
     chip time — the fair basis for adopting a faster sampler (a variant
     that does 4x the iterations in the same seconds should win on merit,
     not bookkeeping). ``num_iters`` becomes an upper bound.
+
+    ``dataset`` injects a prebuilt HARP2Dataset (the real-granule-scale
+    harness builds one 14.6 M-ray dataset and shares it across every cell);
+    default builds the small 96x48 synthetic scene.
     """
     import jax
     import jax.numpy as jnp
@@ -43,10 +48,13 @@ def run(
     from atmonr_tpu.utils import load_config
 
     cfg = load_config(path)
-    granule = make_synthetic_granule(
-        height=96, width=48, views_per_band=2, n_blobs=n_blobs
-    )
-    ds = HARP2Dataset(cfg["dataset"], granule)
+    if dataset is None:
+        granule = make_synthetic_granule(
+            height=96, width=48, views_per_band=2, n_blobs=n_blobs
+        )
+        ds = HARP2Dataset(cfg["dataset"], granule)
+    else:
+        ds = dataset
     pipe = get_pipeline(cfg["pipeline"], ds)
     # seed=0 reproduces the historical fixed-key harness exactly; other
     # seeds shift all three streams together (docs/performance.md: PSNR at
@@ -64,8 +72,11 @@ def run(
     aux_every = pipe.occ_cfg.update_every if getattr(pipe, "occ_cfg", None) else 0
     aux_update = jax.jit(pipe.update_aux)
 
+    # rays as an ARGUMENT, not a closure constant: a closed-over 14.6 M-ray
+    # store bakes into the HLO and the axon relay rejects the compile
+    # request (HTTP 413; verify skill)
     @jax.jit
-    def step(params, opt_state, aux, perm, i, key):
+    def step(params, opt_state, aux, rays, perm, i, key):
         batch = batch_at_step(rays, perm, i % steps_per_epoch, b)
 
         def loss_fn(p):
@@ -80,7 +91,7 @@ def run(
     perm = epoch_permutation(jax.random.PRNGKey(1000 * seed + 2), ds.num_rays, b)
     # compile outside the timed region
     params, opt_state, loss = step(
-        params, opt_state, aux, perm, jnp.asarray(0), key
+        params, opt_state, aux, rays, perm, jnp.asarray(0), key
     )
     if aux_every:
         aux = aux_update(params, aux, key)
@@ -93,6 +104,7 @@ def run(
             params,
             opt_state,
             aux,
+            rays,
             perm,
             jnp.asarray(i),
             jax.random.fold_in(key, i),
