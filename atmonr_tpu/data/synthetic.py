@@ -253,6 +253,8 @@ def write_granule_l1b_real_schema(
     width: int = 10,
     seed: int = 0,
     n_blobs: int = 1,
+    blob_max: float = 0.5,
+    noise: float = 0.01,
 ) -> None:
     """Write a synthetic granule in the REAL PACE_HARP2 L1B file schema.
 
@@ -302,7 +304,12 @@ def write_granule_l1b_real_schema(
     # n_blobs > 1 builds the multi-scale broken-cloud field instead (same
     # construction as make_synthetic_granule's hard scene) so quality
     # comparisons at real-granule scale have structure that discriminates
-    # capacity and sampling strategy.
+    # capacity and sampling strategy. ``blob_max`` caps the cell width (in
+    # [-1,1] swath units) and ``noise`` sets the sensor-noise sigma — the
+    # noise floor bounds the achievable PSNR (~20 log10(max_i / noise)), so
+    # quality A/Bs must keep it low enough that structure, not noise,
+    # limits the score (the r4 first real-scale run saturated at the
+    # 43.5 dB ceiling of noise=0.01 and could not discriminate).
     yy, xx = np.meshgrid(
         np.linspace(-1, 1, height), np.linspace(-1, 1, width), indexing="ij"
     )
@@ -313,8 +320,8 @@ def write_granule_l1b_real_schema(
         min_s = 2.0 * 2.0 / max(height, width)  # ~2-pixel cells at the floor
         for _ in range(n_blobs):
             by, bx = rng.uniform(-0.9, 0.9, 2)
-            sy = np.exp(rng.uniform(np.log(min_s), np.log(0.5)))
-            sx = np.exp(rng.uniform(np.log(min_s), np.log(0.5)))
+            sy = np.exp(rng.uniform(np.log(min_s), np.log(blob_max)))
+            sx = np.exp(rng.uniform(np.log(min_s), np.log(blob_max)))
             amp = rng.uniform(0.3, 1.0)
             cloud += amp * np.exp(
                 -(((yy - by) / sy) ** 2 + ((xx - bx) / sx) ** 2)
@@ -324,7 +331,7 @@ def write_granule_l1b_real_schema(
         0.3
         + 0.1 * bands[:, None, None]
         + cloud[None] * (1.2 - 0.05 * bands[:, None, None])
-        + rng.normal(scale=0.01, size=(n_views, height, width))
+        + rng.normal(scale=noise, size=(n_views, height, width))
     ).astype(np.float32)
 
     # invalid pixels: swath-edge fill, plus striped red views (every other

@@ -64,6 +64,15 @@ class HashGridConfig:
     # so quality A/Bs straddling the size threshold don't silently change
     # numerics (ADVICE r2).
     bwd_sort_pack: str = "auto"
+    # Dense-level overlapped-tile fetch on the XLA gather path: the random
+    # row-gather rate is invariant to row WIDTH up to >=256 B
+    # (tools/bench_dma_gather.py), so 3-D dense levels derive a
+    # (4,4,4)-entry overlapped-window view (stride 3: every 2x2x2 corner
+    # cube lies inside ONE tile) from the master table by cheap strided
+    # slicing each step, and the 8 corner fetches collapse to 1 wide-row
+    # fetch + a lane select. Bit-exact (same values, same accumulation
+    # order); "off" restores the per-corner gather.
+    dense_tile: str = "auto"
 
     @staticmethod
     def from_options(options: dict, n_dims: int) -> "HashGridConfig":
@@ -78,6 +87,7 @@ class HashGridConfig:
             fwd_mode=str(options.get("fwd_mode", "auto")),
             bwd_mode=str(options.get("bwd_mode", "auto")),
             bwd_sort_pack=str(options.get("bwd_sort_pack", "auto")),
+            dense_tile=str(options.get("dense_tile", "auto")),
         )
 
     @cached_property
@@ -190,9 +200,112 @@ def level_indices(
     return idx, w
 
 
+# Overlapped-tile geometry for the dense-level wide-row fetch: windows of
+# _TILE_W entries per dim at stride _TILE_S overlap by one, so any 2-entry
+# run (a corner pair) — and hence any 2^D corner cube — lies inside one tile
+_TILE_W, _TILE_S = 4, 3
+
+
+def _n_tiles(res: int) -> int:
+    """Tiles per dim: every base coord in [0, res-2] maps to tile b // S."""
+    return max(1, (res - 2) // _TILE_S + 1)
+
+
+def build_dense_tiles(
+    level_slice: jax.Array, res: int, n_dims: int
+) -> jax.Array:
+    """(res^D, F) dense level slice -> (n_tiles^D, W^D * F) overlapped-tile
+    rows: row (t_z..t_x) holds entries [S*t_d, S*t_d + W) per dim, flattened
+    slot-major (l_z, l_y, l_x, feature). Pure strided slicing + transpose:
+    streams ~(W/S)^D x the level bytes, no random access; recomputed inside
+    the jitted step each call (differentiable, but the encode's custom VJP
+    never differentiates through it)."""
+    f = level_slice.shape[-1]
+    nt = _n_tiles(res)
+    p = _TILE_S * (nt - 1) + _TILE_W  # padded extent: last window in bounds
+    arr = level_slice.reshape((res,) * n_dims + (f,))
+    if p > res:
+        arr = jnp.pad(arr, [(0, p - res)] * n_dims + [(0, 0)])
+    # one static strided slice per slot combination: slot (l_z..l_x) of
+    # every tile at once is arr[l_0::S, l_1::S, ...] trimmed to nt — W^D
+    # cheap strided slices + a stack, NO high-rank transpose (a
+    # (nt,W,...,W,f) transpose of the 2^21-config levels never finished
+    # the server-side TPU compile)
+    slots = []
+    for flat in range(_TILE_W**n_dims):
+        ls = [(flat >> (2 * (n_dims - 1 - d))) & 3 for d in range(n_dims)]
+        view = arr[
+            tuple(
+                slice(ls[d], ls[d] + _TILE_S * (nt - 1) + 1, _TILE_S)
+                for d in range(n_dims)
+            )
+        ]  # (nt,)*D + (f,), slot (l_0..l_{D-1}) of every tile
+        slots.append(view.reshape(nt**n_dims, f))
+    # rows flatten slot-major (l_0=z slowest ... l_{D-1}=x, then feature)
+    return jnp.stack(slots, axis=1).reshape(nt**n_dims, (_TILE_W**n_dims) * f)
+
+
+def _use_dense_tiles(cfg: HashGridConfig, level: int) -> bool:
+    # "auto" engages only beyond the Pallas gate (big-table XLA-fallback
+    # configs, where the random gather is the wall); small/parity configs
+    # keep the op-exact per-corner path. "on" forces it everywhere.
+    if cfg.dense_tile == "off" or cfg.n_dims != 3:
+        return False
+    if cfg.dense_tile == "auto" and cfg.hashmap_size <= (1 << 16):
+        return False
+    return cfg.level_is_dense(level)
+
+
+def _dense_tiled_level(
+    table: jax.Array, x: jax.Array, cfg: HashGridConfig, level: int
+) -> jax.Array:
+    """One dense level via the overlapped-tile fetch: 1 wide-row gather per
+    point (vs 2^D row gathers), then the trilinear interpolation evaluated
+    as three separable per-dim contractions over the (W,W,W) tile — no
+    per-corner lane select (``take_along_axis`` along rows is row-serial
+    on TPU and cost more than the gathers it saved). Same math as the
+    per-corner path (sum over corners of the product weights) up to f32
+    summation order — allclose, not bit-equal."""
+    f = cfg.n_features_per_level
+    res = cfg.level_resolutions[level]
+    nt = _n_tiles(res)
+    off = cfg.level_offsets[level]
+    tiles = build_dense_tiles(table[off : off + res**cfg.n_dims], res, cfg.n_dims)
+
+    scale = cfg.level_scales[level]
+    pos = x.astype(jnp.float32) * scale + 0.5
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid
+    base = jnp.clip(pos_grid.astype(jnp.int32), 0, res - 2)  # (M, D) x,y,z
+
+    t = base // _TILE_S
+    tid = (t[:, 2] * nt + t[:, 1]) * nt + t[:, 0]
+    rows = tiles[tid]  # (M, W^D * F) — THE one gather
+    m = x.shape[0]
+    rows5 = rows.astype(frac.dtype).reshape(
+        m, _TILE_W, _TILE_W, _TILE_W, f
+    )  # (m, z, y, x, f)
+
+    l = base - _TILE_S * t  # in-tile slot of the floor corner, (M, D)
+    k = jnp.arange(_TILE_W)[None]
+
+    def dim_weights(d):
+        ld, fr = l[:, d, None], frac[:, d, None]
+        return jnp.where(k == ld, 1.0 - fr, 0.0) + jnp.where(
+            k == ld + 1, fr, 0.0
+        )
+
+    a = jnp.einsum("mzyxf,mx->mzyf", rows5, dim_weights(0))
+    a = jnp.einsum("mzyf,my->mzf", a, dim_weights(1))
+    return jnp.einsum("mzf,mz->mf", a, dim_weights(2))
+
+
 def _hash_encode_impl(table: jax.Array, x: jax.Array, cfg: HashGridConfig):
     outs = []
     for level in range(cfg.n_levels):
+        if _use_dense_tiles(cfg, level):
+            outs.append(_dense_tiled_level(table, x, cfg, level))
+            continue
         idx, w = level_indices(x, cfg, level)
         feats = table[cfg.level_offsets[level] + idx]  # (M, 2^D, F)
         # accumulate in the weights' dtype (f32) — a no-op for f32 tables,

@@ -140,3 +140,79 @@ def test_segment_sum_sorted_bf16_packed_path(monkeypatch):
         idx, jnp.asarray(np.asarray(vals, np.float32)).astype(jnp.bfloat16).astype(jnp.float32), t
     )
     np.testing.assert_allclose(np.asarray(packed), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+def test_dense_tile_layout_covers_every_corner_cube():
+    """build_dense_tiles: row (t_z,t_y,t_x) must hold entry (x,y,z) at slot
+    (l_z,l_y,l_x) for every in-window coordinate, and every clipped base
+    coordinate's 2x2x2 corner cube must lie inside tile b // S."""
+    res, f = 7, 2
+    key = jax.random.PRNGKey(0)
+    level = jax.random.normal(key, (res**3, f))
+    tiles = np.asarray(hg.build_dense_tiles(level, res, 3))
+    nt = hg._n_tiles(res)
+    lvl = np.asarray(level).reshape(res, res, res, f)  # (z, y, x, f)
+    W, S = hg._TILE_W, hg._TILE_S
+    for tz in range(nt):
+        for ty in range(nt):
+            for tx in range(nt):
+                row = tiles[(tz * nt + ty) * nt + tx].reshape(W, W, W, f)
+                for lz in range(W):
+                    for ly in range(W):
+                        for lx in range(W):
+                            z, y, x = S * tz + lz, S * ty + ly, S * tx + lx
+                            if z < res and y < res and x < res:
+                                np.testing.assert_array_equal(
+                                    row[lz, ly, lx], lvl[z, y, x]
+                                )
+    # coverage: for every base b in [0, res-2], b and b+1 fit tile b // S
+    for b in range(res - 1):
+        t = b // S
+        assert S * t <= b and b + 1 <= S * t + W - 1
+
+
+def test_dense_tiled_encode_matches_per_corner():
+    """The overlapped-tile fetch + separable contraction equals the
+    per-corner gather up to f32 summation order — for f32 and the bf16-row
+    fallback alike, including out-of-range positions that clamp. The
+    "auto" gate engages only beyond the Pallas table limit (2^16), where
+    the XLA gather fallback is the hot path."""
+    assert not hg._use_dense_tiles(_cfg(log2_hashmap_size=12), 0)  # gated
+    key = jax.random.PRNGKey(1)
+    cfg_on = _cfg(n_levels=6, log2_hashmap_size=17)  # mix of dense + hashed
+    cfg_off = _cfg(n_levels=6, log2_hashmap_size=17, dense_tile="off")
+    assert any(hg._use_dense_tiles(cfg_on, l) for l in range(6))
+    assert any(not cfg_on.level_is_dense(l) for l in range(6))
+    table = hg.init_hash_table(key, cfg_on)
+    x = jax.random.uniform(
+        jax.random.PRNGKey(2), (257, 3), minval=-0.2, maxval=1.2
+    )
+    out_on = hg._hash_encode_impl(table, x, cfg_on)
+    out_off = hg._hash_encode_impl(table, x, cfg_off)
+    np.testing.assert_allclose(
+        np.asarray(out_on), np.asarray(out_off), rtol=1e-5, atol=1e-7
+    )
+
+    bf_on = hg._hash_encode_impl(table.astype(jnp.bfloat16), x, cfg_on)
+    bf_off = hg._hash_encode_impl(table.astype(jnp.bfloat16), x, cfg_off)
+    np.testing.assert_allclose(
+        np.asarray(bf_on), np.asarray(bf_off), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_dense_tiled_encode_gradients_unchanged():
+    """The custom-VJP table gradient is fetch-path independent: grads with
+    dense_tile on == off."""
+    cfg_on = _cfg(n_levels=3, log2_hashmap_size=17, dense_tile="on")
+    cfg_off = _cfg(n_levels=3, log2_hashmap_size=17, dense_tile="off")
+    table = hg.init_hash_table(jax.random.PRNGKey(3), cfg_on)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (64, 3))
+
+    def loss(t, cfg):
+        return jnp.sum(hg.hash_encode(t, x, cfg) ** 2)
+
+    g_on = jax.grad(lambda t: loss(t, cfg_on))(table)
+    g_off = jax.grad(lambda t: loss(t, cfg_off))(table)
+    np.testing.assert_allclose(
+        np.asarray(g_on), np.asarray(g_off), rtol=1e-6, atol=1e-8
+    )

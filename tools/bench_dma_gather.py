@@ -144,7 +144,7 @@ def main() -> None:
     # rows/s vs ROW WIDTH: same total bytes, wider rows, fewer of them. If
     # the rate is width-invariant, packing G adjacent entries per row cuts
     # the encode's fetch count (dense levels: corners (x, x+1) share a row)
-    for g in (2, 8, 32):
+    for g in (2, 8, 32, 64):  # g=64: the dense-tile row (512 B f32 / 256 B bf16)
         tg = table.reshape(T // g, g * F)
         ig = jax.random.randint(
             jax.random.PRNGKey(3), (N,), 0, T // g, jnp.int32

@@ -26,6 +26,9 @@ VARIANTS = {
     "uniform128": "configs/instant_ngp_tpu.json",
     "occ15_64p32f": "configs/instant_ngp_tpu_occ.json",
     "occ13_32p24f": "configs/instant_ngp_tpu_occ13.json",
+    # the occ15 collapse guard (clip_global_norm 1.0) on the flagship:
+    # A/B'd against occ13_32p24f at matched wall-clock (VERDICT r3 item 5)
+    "occ13_clip": "configs/instant_ngp_tpu_occ13_clip.json",
     "occ13_q8": "configs/instant_ngp_tpu_occ13_q8.json",
     "occ13_q8sr": "configs/instant_ngp_tpu_occ13_q8sr.json",
     # reference table capacity (2^21) with the TPU occupancy sampler — at

@@ -52,7 +52,14 @@ def main() -> None:
     budget = 300.0
     seeds = [0, 1, 2]
     height = width = 457
-    blobs = 1800  # ~40 blobs per 48x96 patch-equivalent of swath area
+    # hard-scene defaults: the first r4 run (1800 blobs to 0.5 width,
+    # noise 0.01) saturated at the 43.5 dB noise ceiling — uniform128 and
+    # the flagship tied at 12.5x different iteration counts. Structure
+    # must limit the score: smaller cells, more of them, 5x less noise
+    # (ceiling ~57 dB).
+    blobs = 4000
+    blob_max = 0.15  # ~34 px max cell width at 457
+    noise = 0.002
     out_path = Path("docs/quality_real_scale.jsonl")
     names = list(VARIANTS)
     for a in sys.argv[1:]:
@@ -67,28 +74,36 @@ def main() -> None:
             width = int(v)
         elif k == "blobs":
             blobs = int(v)
+        elif k == "blob_max":
+            blob_max = float(v)
+        elif k == "noise":
+            noise = float(v)
         elif k == "out":
             out_path = Path(v)
         elif k == "variants":
             names = v.split(",")
 
+    scene_tag = (
+        f"real_scale_{height}x{width}_b{blobs}_w{blob_max:g}_n{noise:g}"
+    )
     done = set()
     if out_path.exists():
         for line in out_path.read_text().splitlines():
             r = json.loads(line)
-            done.add((r["name"], r["seed"]))
+            done.add((r["name"], r["seed"], r["scene"]))
     out_path.parent.mkdir(parents=True, exist_ok=True)
 
     # one real-scale granule + dataset, shared by every cell (the dataset
     # section is identical across the three configs; asserted below)
-    cache = Path(f"/tmp/qrs_granule_{height}x{width}_b{blobs}")
+    cache = Path(f"/tmp/qrs_granule_{scene_tag}")
     name_nc = "PACE_HARP2.20240101T000000.L1B.V3.SYNTHETIC.nc"
     granule_path = cache / "HARP2" / name_nc
     if not granule_path.exists():
         granule_path.parent.mkdir(parents=True, exist_ok=True)
         t0 = time.perf_counter()
         write_granule_l1b_real_schema(
-            granule_path, height=height, width=width, n_blobs=blobs
+            granule_path, height=height, width=width, n_blobs=blobs,
+            blob_max=blob_max, noise=noise,
         )
         print(f"[granule written in {time.perf_counter() - t0:.1f}s]",
               flush=True)
@@ -104,7 +119,7 @@ def main() -> None:
     with open(out_path, "a") as f:
         for name in names:
             for seed in seeds:
-                if (name, seed) in done:
+                if (name, seed, scene_tag) in done:
                     continue
                 r = run(
                     name,
@@ -114,13 +129,17 @@ def main() -> None:
                     seconds=budget,
                     dataset=ds,
                 )
-                r["scene"] = f"real_scale_{height}x{width}_b{blobs}"
+                r["scene"] = scene_tag
                 r["budget_s"] = budget
                 r["num_rays"] = int(ds.num_rays)
                 f.write(json.dumps(r) + "\n")
                 f.flush()
 
-    rows = [json.loads(ln) for ln in out_path.read_text().splitlines()]
+    rows = [
+        json.loads(ln)
+        for ln in out_path.read_text().splitlines()
+        if json.loads(ln)["scene"] == scene_tag
+    ]
     print(f"\n== real-granule scale, {budget:.0f}s/cell, seeds {seeds} ==")
     for name in names:
         cells = [r for r in rows if r["name"] == name]
