@@ -386,6 +386,15 @@ def hash_encode(
     """
     m = x.shape[0]
     if m > _POINT_CHUNK and not compute_dx:
+        if cfg.dense_tile == "auto":
+            # the dense-tile fetch inside a lax.map body stalls the
+            # server-side TPU compile indefinitely (observed r4 on the
+            # occ21 real-scale eval: 1024-sample aux-less forward -> 4.2 M
+            # points -> mapped encode never finished compiling); the
+            # un-mapped paths keep the tiles. An explicit "on" is honored.
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, dense_tile="off")
         n_chunks = -(-m // _POINT_CHUNK)
         pad = n_chunks * _POINT_CHUNK - m
         x_p = jnp.concatenate([x, x[:pad]]) if pad else x

@@ -125,7 +125,14 @@ def run(
     num_iters = i
 
     # deterministic full-dataset eval (jitted: the eager per-op dispatch
-    # path costs minutes per eval on this transport)
+    # path costs minutes per eval on this transport). The AdamW moments are
+    # dead weight here (340 MB at the 2^21 capacity) and the uniform-128
+    # eval forward peaks well above the occupancy training step, so free
+    # them and evaluate in smaller slices — the occ21 real-scale cell
+    # OOM'd 16 GB with full-batch eval slices.
+    opt_state = None
+    b_eval = min(b, 4096)
+
     @jax.jit
     def eval_slice(p, sl):  # params as an ARG: closures would bake them in
         out = pipe.forward(p, sl, key=None)
@@ -134,11 +141,11 @@ def run(
         )[:, 0]
 
     preds = []
-    for s in range(0, ds.num_rays, b):
-        sl = {k: v[s : s + b] for k, v in rays.items()}
-        if sl["origin"].shape[0] < b:  # pad the tail to the jitted shape
+    for s in range(0, ds.num_rays, b_eval):
+        sl = {k: v[s : s + b_eval] for k, v in rays.items()}
+        if sl["origin"].shape[0] < b_eval:  # pad the tail to the jitted shape
             tail = sl["origin"].shape[0]
-            pad = b - tail
+            pad = b_eval - tail
             # repeat the last row: padding with a slice of the tail itself
             # under-fills whenever tail < pad and forces a recompile
             sl = {
