@@ -70,8 +70,12 @@ class HashGridConfig:
     # (4,4,4)-entry overlapped-window view (stride 3: every 2x2x2 corner
     # cube lies inside ONE tile) from the master table by cheap strided
     # slicing each step, and the 8 corner fetches collapse to 1 wide-row
-    # fetch + a lane select. Bit-exact (same values, same accumulation
-    # order); "off" restores the per-corner gather.
+    # fetch + a lane select. Same math up to f32 summation order (the
+    # separable einsum contraction reorders the corner sum) — allclose
+    # to rtol 1e-5, not bit-equal
+    # (tests/test_hash_grid.py::test_dense_tiled_encode_matches_per_corner);
+    # "off" restores the per-corner gather. "auto" never engages under
+    # fwd_mode="xla" (the exact golden-parity path).
     dense_tile: str = "auto"
 
     @staticmethod
@@ -251,7 +255,12 @@ def _use_dense_tiles(cfg: HashGridConfig, level: int) -> bool:
     # keep the op-exact per-corner path. "on" forces it everywhere.
     if cfg.dense_tile == "off" or cfg.n_dims != 3:
         return False
-    if cfg.dense_tile == "auto" and cfg.hashmap_size <= (1 << 16):
+    if cfg.dense_tile == "auto" and (
+        cfg.hashmap_size <= (1 << 16) or cfg.fwd_mode == "xla"
+    ):
+        # fwd_mode="xla" is the documented op-exact golden-parity mode
+        # (ADVICE r4): "auto" tiles would silently shift dense-level
+        # numerics (allclose, not bit-equal) under it
         return False
     return cfg.level_is_dense(level)
 

@@ -105,6 +105,13 @@ class Trainer:
         self.num_iters = int(config["num_iters"])
         self.print_frequency = int(config.get("print_frequency", 10))
         self.check_numerics = bool(config.get("check_numerics", False))
+        # progress imagery/metrics: the per-band prediction gathers + the
+        # pred-pixel scatters ride the donated step and cost ~5% of
+        # steady-state throughput (tools/bench_trainer.py); config
+        # "progress": false drops them (and the epoch PSNR/SSIM imagery)
+        # for throughput-critical runs — loss logging and checkpoints are
+        # unaffected
+        self.progress = bool(config.get("progress", True))
         # gradient micro-batching: scan micro-batches of this many rays
         # inside the step, summing gradients before the one optimizer
         # update — mathematically the full-batch step (losses are per-ray
@@ -401,7 +408,8 @@ class Trainer:
                 (l, results), g = jax.value_and_grad(
                     batch_loss, has_aux=True
                 )(state["params"], mbatch, mkey)
-                return None, (l, g, band_preds(results, mbatch))
+                extras = band_preds(results, mbatch) if self.progress else ()
+                return None, (l, g, extras)
 
             _, (losses, grads_stacked, preds_stacked) = jax.lax.scan(
                 body, None, (jnp.arange(n_micro), micro)
@@ -415,21 +423,31 @@ class Trainer:
             (loss, results), grads = jax.value_and_grad(
                 batch_loss, has_aux=True
             )(state["params"], batch, key)
-            preds = band_preds(results, batch)
+            preds = band_preds(results, batch) if self.progress else ()
         updates, opt_state = self.optimizer.update(
             grads, state["opt_state"], state["params"]
         )
         params = optax.apply_updates(state["params"], updates)
 
-        idx = batch["idx"]
         new_state = {
             "params": params,
             "opt_state": opt_state,
             "aux": state["aux"],
-            "pred_pixels": state["pred_pixels"].at[idx].set(preds[0]),
-            "pred_pixels_surf": state["pred_pixels_surf"].at[idx].set(preds[1]),
-            "pred_pixels_atmo": state["pred_pixels_atmo"].at[idx].set(preds[2]),
         }
+        if self.progress:
+            idx = batch["idx"]
+            new_state["pred_pixels"] = state["pred_pixels"].at[idx].set(preds[0])
+            new_state["pred_pixels_surf"] = (
+                state["pred_pixels_surf"].at[idx].set(preds[1])
+            )
+            new_state["pred_pixels_atmo"] = (
+                state["pred_pixels_atmo"].at[idx].set(preds[2])
+            )
+        else:
+            # pass the (donated, untouched) buffers through so the state
+            # pytree keeps one structure either way
+            for k in ("pred_pixels", "pred_pixels_surf", "pred_pixels_atmo"):
+                new_state[k] = state[k]
         return new_state, loss
 
     # -- the epoch loop ------------------------------------------------------
@@ -505,7 +523,11 @@ class Trainer:
                         self.state["aux"],
                         jax.random.fold_in(self.aux_key, self.iter_count),
                     )
-                running = running[-self.print_frequency :] + [loss]
+                # keep exactly the last print_frequency losses so each
+                # block mean averages its own block only (ADVICE r4: the
+                # old trim-then-append kept pf+1 values after block one,
+                # leaking the previous block's last loss into every mean)
+                running = (running + [loss])[-self.print_frequency :]
                 yield self.iter_count
                 if self.iter_count % self.print_frequency == 0:
                     if prev_block is not None:
@@ -540,6 +562,13 @@ class Trainer:
         self._print()
 
     def _end_of_epoch(self, last_len: int = 0) -> None:
+        if not self.progress:
+            # the step never wrote pred_pixels; metrics/imagery would score
+            # the zero image
+            line = f"Epoch {self.epoch_idx}/{self.num_epochs}"
+            self._print(line + max(0, last_len - len(line)) * " ")
+            self.logger.flush()
+            return
         ds = self.dataset
         pred_pixels = np.asarray(self.state["pred_pixels"])
         pred_img = ds.scatter_image(pred_pixels)

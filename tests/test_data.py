@@ -298,3 +298,77 @@ def test_read_var_scale_offset_and_valid_range(tmp_path):
     assert np.isnan(out[0, 2])  # fill
     assert np.isnan(out[0, 3])  # > valid_max
     assert np.isnan(out[0, 4])  # < valid_min
+
+
+class _FakeResult:
+    def __init__(self, native_id):
+        self.render_dict = {"meta": {"native-id": native_id}}
+
+
+class _FakeEarthaccess:
+    """Records the earthaccess calls the download hook makes (no network)."""
+
+    def __init__(self, results):
+        self._results = results
+        self.calls = {}
+
+    def login(self, persist=False):
+        self.calls["login"] = {"persist": persist}
+
+    def search_data(self, short_name, temporal):
+        self.calls["search"] = {"short_name": short_name, "temporal": temporal}
+        return self._results
+
+    def download(self, result, dst):
+        self.calls["download"] = {"result": result, "dst": dst}
+
+
+@pytest.mark.parametrize("level", ["L1B", "L1C"])
+def test_earthaccess_download_hook(monkeypatch, tmp_path, level):
+    """The auto-download hook (data/factory.py, mirroring reference
+    harp2.py:432-458) searches the right short name per level, derives the
+    temporal window from the filename timestamp, filters candidates by the
+    dot-shortened native-id, and downloads the first match."""
+    import sys
+
+    from atmonr_tpu.data import factory
+
+    name = f"PACE_HARP2.20240507T131726.{level}.V2.5km.nc"
+    short = ".".join(name.split(".")[:4])
+    hit = _FakeResult(f"prefix.{short}.suffix")
+    fake = _FakeEarthaccess([_FakeResult("PACE_HARP2.other"), hit])
+    monkeypatch.setitem(sys.modules, "earthaccess", fake)
+
+    factory.download(name, tmp_path, level)
+
+    assert fake.calls["login"] == {"persist": True}
+    assert fake.calls["search"]["short_name"] == f"PACE_HARP2_{level}_SCI"
+    # the window is [granule day, next day): no direct filename search in
+    # earthaccess, so the timestamp bounds the query
+    assert fake.calls["search"]["temporal"] == ("2024-05-07", "2024-05-08")
+    assert fake.calls["download"]["result"] is hit
+    assert fake.calls["download"]["dst"] == str(tmp_path)
+
+
+def test_earthaccess_download_not_found(monkeypatch, tmp_path):
+    import sys
+
+    from atmonr_tpu.data import factory
+
+    fake = _FakeEarthaccess([])
+    monkeypatch.setitem(sys.modules, "earthaccess", fake)
+    with pytest.raises(ValueError, match="Could not find"):
+        factory.download(
+            "PACE_HARP2.20240507T131726.L1B.V2.nc", tmp_path, "L1B"
+        )
+
+
+def test_missing_granule_offline_error(tmp_path):
+    """Without earthaccess installed the factory raises the actionable
+    offline error instead of an ImportError."""
+    with pytest.raises(FileNotFoundError, match="synthetic"):
+        from atmonr_tpu.data import factory
+
+        factory.get_dataset(
+            CONFIG, "PACE_HARP2.20240507T131726.L1B.V2.nc", tmp_path
+        )

@@ -1,6 +1,8 @@
 """Integration tests for the training runtime: Trainer loop, schedules,
 metrics, checkpoint/resume."""
 
+from pathlib import Path
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -410,3 +412,68 @@ def test_check_numerics_rejects_mesh(dataset, tmp_path):
     t = Trainer(cfg, dataset, pipe, "cn_mesh", data_root=tmp_path)
     with pytest.raises(NotImplementedError, match="single-device"):
         t.shard(make_mesh(data=2))
+
+
+def test_loss_block_mean_averages_exactly_one_block(dataset, tmp_path):
+    """Each logged block mean covers exactly print_frequency losses
+    (ADVICE r4: the old trim-then-append kept pf+1 values after the first
+    block, leaking the previous block's last loss into every mean)."""
+    import json
+
+    cfg = dict(TRAINER_CONFIG, num_iters=12, print_frequency=3)
+    pipe = get_pipeline(NGP_CONFIG, dataset)
+    trainer = Trainer(cfg, dataset, pipe, "block_exp", data_root=tmp_path)
+    losses = []
+    orig = trainer._train_step
+
+    def wrapped(*args):
+        state, loss = orig(*args)
+        losses.append(loss)
+        return state, loss
+
+    trainer._train_step = wrapped
+    trainer.train(tmp_path / "block_out")
+
+    per_step = [float(np.asarray(l)) for l in losses]
+    jsonl = next(Path(trainer.tensorboard_dir).glob("metrics.jsonl"))
+    logged = [
+        json.loads(ln)
+        for ln in jsonl.read_text().splitlines()
+        if json.loads(ln)["tag"] == "Loss"
+    ]
+    assert [e["step"] for e in logged] == [3, 6, 9, 12]
+    for e in logged:
+        want = float(np.mean(per_step[e["step"] - 3 : e["step"]]))
+        assert e["value"] == pytest.approx(want, rel=1e-6), e
+
+
+def test_trainer_progress_false_same_params_no_scatter(dataset, tmp_path):
+    """config "progress": false drops the per-band gathers + pred-pixel
+    scatters (and the epoch imagery) without changing the training
+    trajectory: parameters match the progress run exactly and the pred
+    buffers stay zero."""
+    pipe = get_pipeline(NGP_CONFIG, dataset)
+    ref = Trainer(
+        TRAINER_CONFIG, dataset, pipe, "prog_on", data_root=tmp_path
+    )
+    ref.train(tmp_path / "on_out")
+
+    cfg = dict(TRAINER_CONFIG, progress=False)
+    fast = Trainer(cfg, dataset, pipe, "prog_off", data_root=tmp_path)
+    fast.train(tmp_path / "off_out")
+
+    assert np.asarray(ref.state["pred_pixels"]).sum() != 0.0
+    assert np.asarray(fast.state["pred_pixels"]).sum() == 0.0
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        ref.state["params"],
+        fast.state["params"],
+    )
+    # loss logging and checkpoints are unaffected
+    jsonl = next(Path(fast.tensorboard_dir).glob("metrics.jsonl"))
+    assert '"Loss"' in jsonl.read_text()
+    assert any((tmp_path / "off_out").glob("epoch_*"))
+    # but no epoch metrics were logged (they would score the zero image)
+    assert '"PSNR_mean"' not in jsonl.read_text()

@@ -43,6 +43,7 @@ def main() -> None:
     height, width, epochs = 384, 96, 8
     config_path = "configs/instant_ngp_tpu_occ13.json"
     pf = None  # print_frequency override (isolates logging-sync cost)
+    progress = None  # progress=0 drops the per-band gathers + pred scatters
     for a in sys.argv[1:]:
         k, _, v = a.partition("=")
         if k == "height":
@@ -55,6 +56,8 @@ def main() -> None:
             config_path = v
         elif k == "pf":
             pf = int(v)
+        elif k == "progress":
+            progress = bool(int(v))
 
     t0 = time.perf_counter()
     cfg = load_config(config_path)
@@ -67,6 +70,8 @@ def main() -> None:
     tcfg = dict(cfg["trainer"], num_iters=10**9)
     if pf is not None:
         tcfg["print_frequency"] = pf
+    if progress is not None:
+        tcfg["progress"] = progress
     trainer = Trainer(tcfg, ds, pipe, "bench_trainer", data_root=tmp)
     b = trainer.batch_size
     spe = trainer.steps_per_epoch
@@ -125,6 +130,7 @@ def main() -> None:
 
     report = {
         "config": config_path,
+        "progress": bool(trainer.progress),
         "num_rays": int(ds.num_rays),
         "batch_size": int(b),
         "steps_per_epoch": int(spe),

@@ -25,10 +25,15 @@ from ab_importance import run  # noqa: E402
 VARIANTS = {
     "uniform128": "configs/instant_ngp_tpu.json",
     "occ15_64p32f": "configs/instant_ngp_tpu_occ.json",
+    # since the r4 clip adoption this IS the guarded flagship; the jsonl's
+    # historical occ13_32p24f rows were recorded pre-guard and are kept
+    # reproducible via occ13_noclip below
     "occ13_32p24f": "configs/instant_ngp_tpu_occ13.json",
-    # the occ15 collapse guard (clip_global_norm 1.0) on the flagship:
-    # A/B'd against occ13_32p24f at matched wall-clock (VERDICT r3 item 5)
-    "occ13_clip": "configs/instant_ngp_tpu_occ13_clip.json",
+    # ADVICE r4: configs/instant_ngp_tpu_occ13_clip.json is now byte-
+    # identical to the flagship (the guard was adopted), so the old
+    # "occ13_clip" variant is an alias of occ13_32p24f and was dropped;
+    # the unguarded arm of the guard A/B is occ13_noclip
+    "occ13_noclip": "configs/instant_ngp_tpu_occ13_noclip.json",
     "occ13_q8": "configs/instant_ngp_tpu_occ13_q8.json",
     "occ13_q8sr": "configs/instant_ngp_tpu_occ13_q8sr.json",
     # reference table capacity (2^21) with the TPU occupancy sampler — at
