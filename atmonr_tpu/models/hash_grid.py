@@ -77,6 +77,21 @@ class HashGridConfig:
     # "off" restores the per-corner gather. "auto" never engages under
     # fwd_mode="xla" (the exact golden-parity path).
     dense_tile: str = "auto"
+    # Overlapped-window storage for HASHED levels ("pair-bucket" hash,
+    # r4 VERDICT item 3): instead of hashing each grid CELL to its own
+    # (F,)-row, hash each (4,4,4)-entry overlapped WINDOW (stride 3 — the
+    # dense-tile geometry, so every 2x2x2 corner cube lies inside exactly
+    # one window) to a (64*F)-wide bucket row, collapsing the 2^D corner
+    # fetches to ONE row fetch per point per level against the ~210 M
+    # fetch/s issue ceiling. This CHANGES THE COLLISION STRUCTURE: a cell
+    # is replicated in up to (4/3)^D ~ 2.4 windows whose copies train
+    # independently (the field becomes piecewise-window, discontinuous at
+    # window seams), an effective capacity loss of ~1.25 log2 bits —
+    # "on" is therefore a different model, config-gated and only
+    # defensible with quality A/B evidence (docs/performance.md). The
+    # parameter count and checkpoint layout are unchanged (the level
+    # slice is reinterpreted as (T/64, 64*F) bucket rows).
+    hashed_tile: str = "off"
 
     @staticmethod
     def from_options(options: dict, n_dims: int) -> "HashGridConfig":
@@ -92,6 +107,7 @@ class HashGridConfig:
             bwd_mode=str(options.get("bwd_mode", "auto")),
             bwd_sort_pack=str(options.get("bwd_sort_pack", "auto")),
             dense_tile=str(options.get("dense_tile", "auto")),
+            hashed_tile=str(options.get("hashed_tile", "off")),
         )
 
     @cached_property
@@ -162,6 +178,16 @@ def _corner_offsets(n_dims: int) -> np.ndarray:
     return corners[:, ::-1].copy()  # x fastest-varying
 
 
+def _spatial_hash(g: jax.Array, n_dims: int, mod: int) -> jax.Array:
+    """Instant-NGP spatial hash of integer coords (..., D) -> int32 mod
+    ``mod`` (a power of two)."""
+    gu = g.astype(jnp.uint32)
+    acc = gu[..., 0] * jnp.uint32(_PRIMES[0])
+    for d in range(1, n_dims):
+        acc = acc ^ (gu[..., d] * jnp.uint32(_PRIMES[d] & 0xFFFFFFFF))
+    return (acc & jnp.uint32(mod - 1)).astype(jnp.int32)
+
+
 def level_indices(
     x: jax.Array, cfg: HashGridConfig, level: int
 ) -> tuple[jax.Array, jax.Array]:
@@ -176,12 +202,8 @@ def level_indices(
         idx: (M, 2**D) int32 indices into the level's table slice.
         w:   (M, 2**D) interpolation weights.
     """
-    scale = cfg.level_scales[level]
     res = cfg.level_resolutions[level]
-    pos = x.astype(jnp.float32) * scale + 0.5
-    pos_grid = jnp.floor(pos)
-    frac = pos - pos_grid
-    base = jnp.clip(pos_grid.astype(jnp.int32), 0, res - 2)
+    base, frac = _base_and_frac(x, cfg, level)
 
     corners = jnp.asarray(_corner_offsets(cfg.n_dims), dtype=jnp.int32)
     g = base[:, None, :] + corners[None, :, :]  # (M, 2^D, D)
@@ -191,17 +213,36 @@ def level_indices(
         for d in range(1, cfg.n_dims):
             strides[d] = strides[d - 1] * res
         idx = jnp.sum(g * jnp.asarray(strides, dtype=jnp.int32), axis=-1)
+    elif _use_hashed_tiles(cfg, level):
+        # overlapped-window storage: every corner of the 2x2x2 cube lies in
+        # the SAME window t = base // S, at in-window coords l + corner; the
+        # entry's flat index is 64*bucket(t) + slot, slot-major (z, y, x) —
+        # matching the (n_buckets, 64*F) row reinterpretation the forward
+        # fetches
+        t = base // _TILE_S  # (M, D)
+        win = g - (_TILE_S * t)[:, None, :]  # (M, 2^D, D) in 0..3
+        bucket = _spatial_hash(t, cfg.n_dims, cfg.level_sizes[level] // (_TILE_W**cfg.n_dims))
+        slot = jnp.zeros(win.shape[:-1], jnp.int32)
+        for d in range(cfg.n_dims):  # z slowest ... x fastest
+            slot = slot * _TILE_W + win[..., cfg.n_dims - 1 - d]
+        idx = bucket[:, None] * (_TILE_W**cfg.n_dims) + slot
     else:
-        gu = g.astype(jnp.uint32)
-        acc = gu[..., 0] * jnp.uint32(_PRIMES[0])
-        for d in range(1, cfg.n_dims):
-            acc = acc ^ (gu[..., d] * jnp.uint32(_PRIMES[d] & 0xFFFFFFFF))
-        idx = (acc & jnp.uint32(cfg.hashmap_size - 1)).astype(jnp.int32)
+        idx = _spatial_hash(g, cfg.n_dims, cfg.hashmap_size)
 
     # d-linear weights: prod over dims of frac (corner=1) or 1-frac (corner=0)
     cw = jnp.where(corners[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :])
     w = jnp.prod(cw, axis=-1)
     return idx, w
+
+
+def _base_and_frac(x, cfg: HashGridConfig, level: int):
+    scale = cfg.level_scales[level]
+    res = cfg.level_resolutions[level]
+    pos = x.astype(jnp.float32) * scale + 0.5
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid
+    base = jnp.clip(pos_grid.astype(jnp.int32), 0, res - 2)
+    return base, frac
 
 
 # Overlapped-tile geometry for the dense-level wide-row fetch: windows of
@@ -265,37 +306,34 @@ def _use_dense_tiles(cfg: HashGridConfig, level: int) -> bool:
     return cfg.level_is_dense(level)
 
 
-def _dense_tiled_level(
-    table: jax.Array, x: jax.Array, cfg: HashGridConfig, level: int
+def _use_hashed_tiles(cfg: HashGridConfig, level: int) -> bool:
+    # a different MODEL (collision structure changes — see the config
+    # comment), so only an explicit "on" engages it, and only for hashed
+    # 3-D levels; it needs >= 64 entries per level for whole bucket rows
+    if cfg.hashed_tile != "on" or cfg.n_dims != 3:
+        return False
+    if cfg.level_is_dense(level):
+        return False
+    assert cfg.log2_hashmap_size >= 6, (
+        "hashed_tile needs 64-entry bucket rows (log2_hashmap_size >= 6)"
+    )
+    return True
+
+
+def _tiled_interp(
+    rows: jax.Array, frac: jax.Array, l: jax.Array, f: int
 ) -> jax.Array:
-    """One dense level via the overlapped-tile fetch: 1 wide-row gather per
-    point (vs 2^D row gathers), then the trilinear interpolation evaluated
-    as three separable per-dim contractions over the (W,W,W) tile — no
-    per-corner lane select (``take_along_axis`` along rows is row-serial
-    on TPU and cost more than the gathers it saved). Same math as the
-    per-corner path (sum over corners of the product weights) up to f32
-    summation order — allclose, not bit-equal."""
-    f = cfg.n_features_per_level
-    res = cfg.level_resolutions[level]
-    nt = _n_tiles(res)
-    off = cfg.level_offsets[level]
-    tiles = build_dense_tiles(table[off : off + res**cfg.n_dims], res, cfg.n_dims)
-
-    scale = cfg.level_scales[level]
-    pos = x.astype(jnp.float32) * scale + 0.5
-    pos_grid = jnp.floor(pos)
-    frac = pos - pos_grid
-    base = jnp.clip(pos_grid.astype(jnp.int32), 0, res - 2)  # (M, D) x,y,z
-
-    t = base // _TILE_S
-    tid = (t[:, 2] * nt + t[:, 1]) * nt + t[:, 0]
-    rows = tiles[tid]  # (M, W^D * F) — THE one gather
-    m = x.shape[0]
+    """Trilinear interpolation over fetched (M, W^D * F) tile rows,
+    evaluated as three separable per-dim contractions — no per-corner lane
+    select (``take_along_axis`` along rows is row-serial on TPU and cost
+    more than the gathers it saved). ``l`` is the (M, D) in-tile slot of
+    the floor corner. Same math as the per-corner path (sum over corners
+    of the product weights) up to f32 summation order — allclose, not
+    bit-equal."""
+    m = frac.shape[0]
     rows5 = rows.astype(frac.dtype).reshape(
         m, _TILE_W, _TILE_W, _TILE_W, f
     )  # (m, z, y, x, f)
-
-    l = base - _TILE_S * t  # in-tile slot of the floor corner, (M, D)
     k = jnp.arange(_TILE_W)[None]
 
     def dim_weights(d):
@@ -309,11 +347,74 @@ def _dense_tiled_level(
     return jnp.einsum("mzf,mz->mf", a, dim_weights(2))
 
 
-def _hash_encode_impl(table: jax.Array, x: jax.Array, cfg: HashGridConfig):
+def _dense_tiled_level(
+    table: jax.Array,
+    x: jax.Array,
+    cfg: HashGridConfig,
+    level: int,
+    tiles: jax.Array | None = None,
+) -> jax.Array:
+    """One dense level via the overlapped-tile fetch: 1 wide-row gather per
+    point (vs 2^D row gathers). The tile rows are derived from the master
+    table by cheap strided slicing each step (``build_dense_tiles``) —
+    or passed in prebuilt (``tiles``) when the caller hoists the
+    derivation out of a ``lax.map`` body (the r4 compile stall:
+    tools/repro_maptile_stall.py)."""
+    f = cfg.n_features_per_level
+    res = cfg.level_resolutions[level]
+    nt = _n_tiles(res)
+    off = cfg.level_offsets[level]
+    if tiles is None:
+        tiles = build_dense_tiles(
+            table[off : off + res**cfg.n_dims], res, cfg.n_dims
+        )
+
+    base, frac = _base_and_frac(x, cfg, level)  # (M, D) x,y,z
+    t = base // _TILE_S
+    tid = (t[:, 2] * nt + t[:, 1]) * nt + t[:, 0]
+    rows = tiles[tid]  # (M, W^D * F) — THE one gather
+    return _tiled_interp(rows, frac, base - _TILE_S * t, f)
+
+
+def _hashed_tiled_level(
+    table: jax.Array, x: jax.Array, cfg: HashGridConfig, level: int
+) -> jax.Array:
+    """One hashed level under overlapped-window ("pair-bucket") storage:
+    the level's flat (T, F) slice is reinterpreted zero-copy as
+    (T/64, 64*F) bucket rows, the WINDOW coordinate ``base // 3`` is
+    spatial-hashed to a bucket, and the single fetched row carries the
+    whole (4,4,4) window — every 2x2x2 corner cube lies inside exactly
+    one window, so the 2^D corner fetches collapse to 1. Unlike the
+    dense-tile path there is no derivation step: the bucket row IS the
+    storage (the collision structure changes; see HashGridConfig)."""
+    f = cfg.n_features_per_level
+    row_w = _TILE_W**cfg.n_dims  # 64 entries per bucket row
+    size = cfg.level_sizes[level]
+    off = cfg.level_offsets[level]
+    buckets = table[off : off + size].reshape(size // row_w, row_w * f)
+
+    base, frac = _base_and_frac(x, cfg, level)
+    t = base // _TILE_S
+    bucket = _spatial_hash(t, cfg.n_dims, size // row_w)
+    rows = buckets[bucket]  # (M, 64*F) — THE one gather
+    return _tiled_interp(rows, frac, base - _TILE_S * t, f)
+
+
+def _hash_encode_impl(
+    table: jax.Array, x: jax.Array, cfg: HashGridConfig, tiles=None
+):
     outs = []
     for level in range(cfg.n_levels):
         if _use_dense_tiles(cfg, level):
-            outs.append(_dense_tiled_level(table, x, cfg, level))
+            outs.append(
+                _dense_tiled_level(
+                    table, x, cfg, level,
+                    None if tiles is None else tiles[level],
+                )
+            )
+            continue
+        if _use_hashed_tiles(cfg, level):
+            outs.append(_hashed_tiled_level(table, x, cfg, level))
             continue
         idx, w = level_indices(x, cfg, level)
         feats = table[cfg.level_offsets[level] + idx]  # (M, 2^D, F)
@@ -328,6 +429,7 @@ def _fwd_dispatch(
     x: jax.Array,
     cfg: HashGridConfig,
     sr_noise: jax.Array | None = None,
+    tiles=None,
 ):
     """Pick the forward gather implementation per ``cfg.fwd_mode``.
 
@@ -337,25 +439,33 @@ def _fwd_dispatch(
     the XLA gather applies. The dispatch is trace-time static (backend +
     static config)."""
     if cfg.fwd_mode != "xla" and jax.default_backend() == "tpu":
-        from atmonr_tpu.ops import hash_gather_pallas as hgp
-
         mode = "bf16" if cfg.fwd_mode == "auto" else cfg.fwd_mode
-        if hgp.supported(cfg, mode):
-            return hgp.hash_encode_pallas_fwd(
-                table, x, cfg, mode, sr_noise if mode == "q8" else None
-            )
+        if cfg.hashed_tile != "on":
+            # Pallas computes per-CELL indexing; under bucket-row storage
+            # that would silently be a different model, so hashed_tile
+            # configs always take the XLA path below
+            from atmonr_tpu.ops import hash_gather_pallas as hgp
+
+            if hgp.supported(cfg, mode):
+                return hgp.hash_encode_pallas_fwd(
+                    table, x, cfg, mode, sr_noise if mode == "q8" else None
+                )
         if mode == "bf16":
             # XLA-gather fallback at reference-capacity tables: bf16 rows
             # gather 1.3x faster than f32 (161 vs 122 M rows/s, v5e) and
             # match the Pallas kernel's (and tcnn's) half-precision table
-            # convention; interpolation still accumulates in f32
-            return _hash_encode_impl(table.astype(jnp.bfloat16), x, cfg)
-    return _hash_encode_impl(table, x, cfg)
+            # convention; interpolation still accumulates in f32 (and the
+            # hashed-tile 64*F bucket rows stay at 256 B, inside the
+            # measured free-width range)
+            return _hash_encode_impl(
+                table.astype(jnp.bfloat16), x, cfg, tiles
+            )
+    return _hash_encode_impl(table, x, cfg, tiles)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _hash_encode_core(table, x, sr_noise, cfg, compute_dx):
-    return _fwd_dispatch(table, x, cfg, sr_noise)
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _hash_encode_core(table, x, sr_noise, tiles, cfg, compute_dx):
+    return _fwd_dispatch(table, x, cfg, sr_noise, tiles)
 
 
 def hash_encode(
@@ -395,24 +505,25 @@ def hash_encode(
     """
     m = x.shape[0]
     if m > _POINT_CHUNK and not compute_dx:
-        if cfg.dense_tile == "auto":
-            # the dense-tile fetch inside a lax.map body stalls the
-            # server-side TPU compile indefinitely (observed r4 on the
-            # occ21 real-scale eval: 1024-sample aux-less forward -> 4.2 M
-            # points -> mapped encode never finished compiling); the
-            # un-mapped paths keep the tiles. An explicit "on" is honored.
-            import dataclasses
-
-            cfg = dataclasses.replace(cfg, dense_tile="off")
+        # r4 observed the dense-tile fetch inside a lax.map body stalling
+        # the server-side TPU compile and auto-gated the tiles off here;
+        # r5's minimal repro (tools/repro_maptile_stall.py) could NOT
+        # reproduce the stall at the full 2^21 geometry (tiles in the
+        # mapped body compile in ~23 s and run 1.44x faster than the
+        # per-corner path on 4.2 M points), so the gate is removed. If the
+        # stall ever returns, `dense_tile: "off"` in the encoding config
+        # restores the old behavior.
         n_chunks = -(-m // _POINT_CHUNK)
         pad = n_chunks * _POINT_CHUNK - m
         x_p = jnp.concatenate([x, x[:pad]]) if pad else x
         out = jax.lax.map(
-            lambda xc: _hash_encode_core(table, xc, sr_noise, cfg, False),
+            lambda xc: _hash_encode_core(
+                table, xc, sr_noise, None, cfg, False
+            ),
             x_p.reshape(n_chunks, _POINT_CHUNK, x.shape[1]),
         )
         return out.reshape(n_chunks * _POINT_CHUNK, -1)[:m]
-    return _hash_encode_core(table, x, sr_noise, cfg, compute_dx)
+    return _hash_encode_core(table, x, sr_noise, None, cfg, compute_dx)
 
 
 # chunk size for the lax.map path: 2^20 points keeps each chunk's padded
@@ -420,21 +531,39 @@ def hash_encode(
 _POINT_CHUNK = 1 << 20
 
 
-def _hash_encode_fwd(table, x, sr_noise, cfg, compute_dx):
+def _hash_encode_fwd(table, x, sr_noise, tiles, cfg, compute_dx):
     # the table is omitted from the residuals unless dx needs its features:
     # under the chunked lax.map the residuals are stacked per chunk, and a
-    # stacked 2^21-config table would be 8 x 170 MB of dead weight
-    res = (table, x, sr_noise) if compute_dx else (None, x, sr_noise)
-    return _fwd_dispatch(table, x, cfg, sr_noise), res
+    # stacked 2^21-config table would be 8 x 170 MB of dead weight. The
+    # tiles likewise: only their shape/dtype specs are carried (the bwd
+    # never reads tile values, it just owes them a zero cotangent).
+    tile_specs = (
+        None
+        if tiles is None
+        else tuple(
+            None if t is None else (t.shape, t.dtype) for t in tiles
+        )
+    )
+    res = (
+        (table, x, sr_noise, tile_specs)
+        if compute_dx
+        else (None, x, sr_noise, tile_specs)
+    )
+    return _fwd_dispatch(table, x, cfg, sr_noise, tiles), res
 
 
 def _hash_encode_bwd(cfg: HashGridConfig, compute_dx: bool, res, g):
-    table, x, sr_noise = res
+    table, x, sr_noise, tile_specs = res
     f = cfg.n_features_per_level
     corners = jnp.asarray(_corner_offsets(cfg.n_dims), dtype=x.dtype)
 
     dtable = None
-    if cfg.bwd_mode != "sort" and jax.default_backend() == "tpu":
+    if (
+        cfg.bwd_mode != "sort"
+        and cfg.hashed_tile != "on"  # Pallas scatters per-CELL indices;
+        # bucket-row storage needs the level_indices-aware sorted path
+        and jax.default_backend() == "tpu"
+    ):
         from atmonr_tpu.ops import hash_bwd_pallas as hbp
 
         mode = "bf16" if cfg.bwd_mode == "auto" else cfg.bwd_mode
@@ -502,7 +631,14 @@ def _hash_encode_bwd(cfg: HashGridConfig, compute_dx: bool, res, g):
                 (cfg.total_params, f), jnp.float32
             ).at[idx_flat].add(vals_flat)
     d_noise = None if sr_noise is None else jnp.zeros_like(sr_noise)
-    return dtable, dx, d_noise
+    d_tiles = (
+        None
+        if tile_specs is None
+        else tuple(
+            None if s is None else jnp.zeros(s[0], s[1]) for s in tile_specs
+        )
+    )
+    return dtable, dx, d_noise, d_tiles
 
 
 # Above this many contributions the sort payload is packed to bf16 pairs:

@@ -66,6 +66,21 @@ class InstantNGPPipeline(Pipeline):
         # stochastic rounding of the q8 forward quantization (training only;
         # eval/extract run key=None and round deterministically)
         self.pos_sr = bool(ngp["encoding"].get("stochastic_rounding", False))
+        # density activation: "relu" is the reference's model (instant_ngp.py
+        # :183-184 "ReLU activation for density") and the golden-parity
+        # default. "softplus" is the config-gated collapse guard: r5 found a
+        # seed-borne failure (seed 4, every variant, WITH clip_global_norm)
+        # where the first steps' global brightness correction drives the
+        # whole density field negative, the ReLU then zeroes all density
+        # gradient, and momentum entrenches it (loss pins ~1.7, constant
+        # image — docs/performance.md "the seed-4 collapse"). Softplus keeps
+        # the gradient alive below zero so the field can recover; applied
+        # identically at the forward, NeRF-coarse, occupancy-update and
+        # extinction sites.
+        act = str(config.get("density_activation", "relu"))
+        if act not in ("relu", "softplus"):
+            raise ValueError(f"unknown density_activation {act!r}")
+        self.density_act = jax.nn.relu if act == "relu" else jax.nn.softplus
         self.dir_specs = parse_encoding_config(ngp["dir_encoding"])
         self.dir_in_dims = 3 + _POS_MLP_OUT - self.num_density_outputs
         self.dir_enc_dims = composite_output_dim(self.dir_specs, self.dir_in_dims)
@@ -154,7 +169,7 @@ class InstantNGPPipeline(Pipeline):
             [u[:, :2], u[:, 2:] / self.config["alt_compress_factor"]], axis=-1
         )
         pos_out = self._pos_branch(params, hash_in)
-        sigma = jax.nn.relu(
+        sigma = self.density_act(
             jnp.max(pos_out[:, : self.num_density_outputs], axis=-1)
         )
         return {"occ": occupancy.update_grid(aux["occ"], sigma, self.occ_cfg)}
@@ -230,7 +245,7 @@ class InstantNGPPipeline(Pipeline):
         pts_c, z_c = sample_uniform_bins(ray_batch, n_c, key=kc)
         enc_in = self._encoder_inputs(pts_c)
         pos_out = self._pos_branch(params, jnp.reshape(enc_in, (b * n_c, -1)))
-        sigma_c = jax.nn.relu(pos_out[:, :1]).reshape(b, n_c, 1)
+        sigma_c = self.density_act(pos_out[:, :1]).reshape(b, n_c, 1)
         _, _, w_c = render(
             z_c * (self.scale / 1000.0),
             jnp.ones((b, n_c, 1), sigma_c.dtype),
@@ -290,7 +305,7 @@ class InstantNGPPipeline(Pipeline):
 
         color = jax.nn.relu(color)
         color_surf = jax.nn.relu(color_surf)
-        sigma = jax.nn.relu(sigma)
+        sigma = self.density_act(sigma)
 
         color_map, _, weights, color_map_atmo, color_map_surf = (
             render_with_surface(
@@ -321,11 +336,16 @@ class InstantNGPPipeline(Pipeline):
         pts = self._encoder_inputs(pts[None])[0]
         pos_out = self._pos_branch(params, pts)
         nd = self.num_density_outputs
-        return jnp.clip(pos_out[..., :nd].reshape(pts.shape[0], nd), min=0)
+        return self.density_act(
+            pos_out[..., :nd].reshape(pts.shape[0], nd)
+        )
 
     def make_optimizer(self, optimizer_config: dict, lr_schedule):
         """AdamW; weight decay on MLPs only, not the hash tables
         (reference instant_ngp.py:107-127)."""
+        from atmonr_tpu.training.schedules import apply_warmup
+
+        lr_schedule = apply_warmup(lr_schedule, optimizer_config)
         b1, b2 = optimizer_config.get("betas", (0.9, 0.999))
 
         def decay_mask(params):

@@ -161,4 +161,8 @@ class NeRFPipeline(Pipeline):
 
     def make_optimizer(self, optimizer_config: dict, lr_schedule):
         """Adam over both MLPs (reference nerf.py:56-71)."""
-        return optax.adam(learning_rate=lr_schedule)
+        from atmonr_tpu.training.schedules import apply_warmup
+
+        return optax.adam(
+            learning_rate=apply_warmup(lr_schedule, optimizer_config)
+        )

@@ -6,11 +6,43 @@ as optax step-indexed schedules so the LR lives inside the jitted update.
   ``final_lr`` after ``num_epochs`` (stepped at epoch boundaries).
 - ``fixed``: multiply by ``gamma`` every ``decay_interval`` iterations once
   past ``decay_start``.
+
+Warmup (optimizer ``warmup_iters``) is applied where the optimizer is
+built (``pipelines.*.make_optimizer`` via ``apply_warmup`` below), not
+here: the quality/bench harnesses construct optimizers with a plain float
+LR and must get the same guard as the Trainer's scheduled path.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+
+def apply_warmup(lr_or_schedule, optimizer_config: dict):
+    """Wrap a float LR or step-schedule with a linear warmup ramp
+    (``warmup_iters`` in the optimizer config; 0/absent = no-op).
+
+    Why: with the tcnn-style ``eps=1e-15`` the first AdamW updates are
+    near sign-magnitude while second moments are tiny, which on unlucky
+    seeds drives the density MLP into a dead-ReLU collapse that the
+    ``clip_global_norm`` guard alone does not always prevent (r5: seed 4
+    collapsed on every occ13 variant WITH the clip guard —
+    docs/performance.md "the seed-4 collapse"). Ramping LR 0 -> lr over
+    the first N steps lets the second moments calibrate before
+    full-size steps."""
+    warmup = int(optimizer_config.get("warmup_iters", 0))
+    if not warmup:
+        return lr_or_schedule
+    base = (
+        lr_or_schedule
+        if callable(lr_or_schedule)
+        else (lambda step: lr_or_schedule)
+    )
+
+    def warmed(step):
+        return base(step) * jnp.minimum(1.0, (step + 1) / warmup)
+
+    return warmed
 
 
 def make_lr_schedule(

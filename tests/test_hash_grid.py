@@ -216,3 +216,135 @@ def test_dense_tiled_encode_gradients_unchanged():
     np.testing.assert_allclose(
         np.asarray(g_on), np.asarray(g_off), rtol=1e-6, atol=1e-8
     )
+
+
+def _per_corner_oracle(table, x, cfg):
+    """Reference encode built directly from level_indices: gather each
+    corner row and weight-sum. level_indices is hashed_tile-aware, so this
+    cross-validates the bucket/slot math of the fast wide-row forward."""
+    outs = []
+    for level in range(cfg.n_levels):
+        idx, w = hg.level_indices(x, cfg, level)
+        feats = table[cfg.level_offsets[level] + idx]
+        outs.append(jnp.sum(feats.astype(w.dtype) * w[..., None], axis=1))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def test_hashed_tile_gating_and_geometry():
+    cfg = _cfg()  # default: off
+    assert not any(hg._use_hashed_tiles(cfg, l) for l in range(cfg.n_levels))
+    cfg_on = _cfg(hashed_tile="on")
+    # engages exactly on the hashed 3-D levels (2, 3 at this geometry)
+    assert [hg._use_hashed_tiles(cfg_on, l) for l in range(4)] == [
+        False, False, True, True,
+    ]
+    # 2-D grids keep per-corner hashing
+    assert not hg._use_hashed_tiles(_cfg(n_dims=2, hashed_tile="on"), 2)
+    # parameter count/layout unchanged: the level slice is reinterpreted,
+    # not resized
+    assert cfg_on.level_sizes == cfg.level_sizes
+    assert cfg_on.total_params == cfg.total_params
+
+
+def test_hashed_tile_forward_matches_level_indices_oracle():
+    """The one-fetch bucket-row forward equals the per-corner gather under
+    the SAME (window-hashed) indexing, to f32 summation order — including
+    out-of-range positions that clamp."""
+    cfg = _cfg(hashed_tile="on")
+    table = hg.init_hash_table(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(
+        jax.random.PRNGKey(1), (301, 3), minval=-0.2, maxval=1.2
+    )
+    fast = hg._hash_encode_impl(table, x, cfg)
+    oracle = _per_corner_oracle(table, x, cfg)
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(oracle), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_hashed_tile_changes_hashed_levels_only():
+    """Dense levels are identical to the per-cell model; hashed levels
+    genuinely change (different collision structure)."""
+    cfg_on = _cfg(hashed_tile="on")
+    cfg_off = _cfg()
+    table = hg.init_hash_table(jax.random.PRNGKey(2), cfg_on)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (64, 3))
+    f = cfg_on.n_features_per_level
+    out_on = np.asarray(hg._hash_encode_impl(table, x, cfg_on))
+    out_off = np.asarray(hg._hash_encode_impl(table, x, cfg_off))
+    np.testing.assert_allclose(
+        out_on[:, : 2 * f], out_off[:, : 2 * f], rtol=1e-5, atol=1e-7
+    )
+    assert np.abs(out_on[:, 2 * f :] - out_off[:, 2 * f :]).max() > 0
+
+
+def test_hashed_tile_gradient_matches_oracle_and_weight_sum():
+    """The custom VJP's sorted-scatter table gradient under hashed_tile
+    equals autodiff of the per-corner oracle, and interpolation weights
+    still sum to 1 per point-level (the scatter-add invariant)."""
+    cfg = _cfg(hashed_tile="on", n_levels=3)
+    table = hg.init_hash_table(jax.random.PRNGKey(4), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (48, 3))
+
+    g_fast = jax.grad(lambda t: jnp.sum(hg.hash_encode(t, x, cfg) ** 2))(
+        table
+    )
+    g_oracle = jax.grad(
+        lambda t: jnp.sum(_per_corner_oracle(t, x, cfg) ** 2)
+    )(table)
+    np.testing.assert_allclose(
+        np.asarray(g_fast), np.asarray(g_oracle), rtol=1e-5, atol=1e-8
+    )
+
+    g_ones = jax.grad(lambda t: jnp.sum(hg.hash_encode(t, x, cfg)))(table)
+    for lvl in range(cfg.n_levels):
+        o, s = cfg.level_offsets[lvl], cfg.level_sizes[lvl]
+        np.testing.assert_allclose(
+            np.asarray(jnp.sum(g_ones[o : o + s], axis=0)), 48.0, rtol=1e-5
+        )
+
+
+def test_hashed_tile_continuous_within_window():
+    """Within one storage window the field stays continuous (the model's
+    discontinuities live only at window seams)."""
+    cfg = _cfg(hashed_tile="on", n_levels=3)
+    table = hg.init_hash_table(jax.random.PRNGKey(6), cfg) * 1e4
+    x = jnp.asarray([[0.31, 0.52, 0.73]])
+    a = hg.hash_encode(table, x, cfg)
+    b = hg.hash_encode(table, x + 1e-5, cfg)
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-2
+
+
+def test_chunked_encode_matches_unchunked(monkeypatch):
+    """Above _POINT_CHUNK the encode runs as a lax.map over chunks; outputs
+    must match the unchunked path for per-corner, dense-tile and
+    hashed-tile configs alike (shrunken chunk size so the test is small)."""
+    monkeypatch.setattr(hg, "_POINT_CHUNK", 64)
+    for kw in (
+        dict(),
+        dict(log2_hashmap_size=17, dense_tile="on"),
+        dict(hashed_tile="on"),
+    ):
+        cfg = _cfg(n_levels=3, **kw)
+        table = hg.init_hash_table(jax.random.PRNGKey(7), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(8), (200, 3))
+        big = hg.hash_encode(table, x, cfg)  # 200 > 64: chunked
+        small = jnp.concatenate(
+            [hg.hash_encode(table, x[i : i + 50], cfg) for i in range(0, 200, 50)]
+        )
+        np.testing.assert_allclose(
+            np.asarray(big), np.asarray(small), rtol=1e-5, atol=1e-7
+        ), kw
+
+        g_big = jax.grad(lambda t: jnp.sum(hg.hash_encode(t, x, cfg) ** 2))(
+            table
+        )
+        g_small = jax.grad(
+            lambda t: sum(
+                jnp.sum(hg.hash_encode(t, x[i : i + 50], cfg) ** 2)
+                for i in range(0, 200, 50)
+            )
+        )(table)
+        np.testing.assert_allclose(
+            np.asarray(g_big), np.asarray(g_small), rtol=1e-5, atol=1e-7
+        ), kw

@@ -477,3 +477,41 @@ def test_trainer_progress_false_same_params_no_scatter(dataset, tmp_path):
     assert any((tmp_path / "off_out").glob("epoch_*"))
     # but no epoch metrics were logged (they would score the zero image)
     assert '"PSNR_mean"' not in jsonl.read_text()
+
+
+def test_warmup_ramp():
+    """warmup_iters ramps LR linearly 0 -> lr over the first N steps and is
+    a no-op when absent; it wraps floats (bench harnesses) and schedules
+    (Trainer) alike."""
+    from atmonr_tpu.training.schedules import apply_warmup
+
+    w = apply_warmup(1.0, {"warmup_iters": 10})
+    assert float(w(0)) == pytest.approx(0.1)
+    assert float(w(4)) == pytest.approx(0.5)
+    assert float(w(9)) == pytest.approx(1.0)
+    assert float(w(500)) == pytest.approx(1.0)
+    s = apply_warmup(lambda step: 2.0, {"warmup_iters": 4})
+    assert float(s(1)) == pytest.approx(1.0)
+    assert apply_warmup(0.5, {}) == 0.5
+
+    # plumbed through the pipeline optimizer: the first-step update is
+    # warmup-scaled
+    import optax
+
+    from tests.test_pipelines import NGP_CONFIG
+    from atmonr_tpu.data.harp2 import HARP2Dataset
+    from atmonr_tpu.data.synthetic import make_synthetic_granule
+    from atmonr_tpu.pipelines import get_pipeline
+
+    granule = make_synthetic_granule(height=8, width=6, views_per_band=2)
+    ds = HARP2Dataset(DATASET_CONFIG, granule)
+    pipe = get_pipeline(NGP_CONFIG, ds)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    base_cfg = {"lr": 1e-2, "betas": (0.9, 0.99), "eps": 1e-8}
+    plain = pipe.make_optimizer(base_cfg, 1e-2)
+    warm = pipe.make_optimizer(dict(base_cfg, warmup_iters=100), 1e-2)
+    up_p, _ = plain.update(g, plain.init(params), params)
+    up_w, _ = warm.update(g, warm.init(params), params)
+    r = np.asarray(up_w["pos_table"]) / np.asarray(up_p["pos_table"])
+    np.testing.assert_allclose(r, 0.01, rtol=1e-4)  # step 0: ramp = 1/100

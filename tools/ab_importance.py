@@ -140,21 +140,29 @@ def run(
             out["color_map_fine"], sl["irgb_idx"][:, None], axis=1
         )[:, 0]
 
+    # lagged fetch: dispatch slice k+1 before fetching slice k so the
+    # device computes while the host transfers (the synchronous per-slice
+    # np.asarray serialized compute behind one transport RTT per slice —
+    # material at the occ21 real-scale eval's thousands of slices)
     preds = []
+    pending: tuple | None = None  # (device_array, tail_rows)
     for s in range(0, ds.num_rays, b_eval):
         sl = {k: v[s : s + b_eval] for k, v in rays.items()}
-        if sl["origin"].shape[0] < b_eval:  # pad the tail to the jitted shape
-            tail = sl["origin"].shape[0]
-            pad = b_eval - tail
+        tail = sl["origin"].shape[0]
+        if tail < b_eval:  # pad the tail to the jitted shape
             # repeat the last row: padding with a slice of the tail itself
             # under-fills whenever tail < pad and forces a recompile
             sl = {
-                k: jnp.concatenate([v, jnp.repeat(v[-1:], pad, axis=0)], axis=0)
+                k: jnp.concatenate(
+                    [v, jnp.repeat(v[-1:], b_eval - tail, axis=0)], axis=0
+                )
                 for k, v in sl.items()
             }
-            preds.append(np.asarray(eval_slice(params, sl))[:tail])
-        else:
-            preds.append(np.asarray(eval_slice(params, sl)))
+        out = eval_slice(params, sl)  # dispatch only
+        if pending is not None:
+            preds.append(np.asarray(pending[0])[: pending[1]])
+        pending = (out, tail)
+    preds.append(np.asarray(pending[0])[: pending[1]])
     pred_img = ds.scatter_image(np.concatenate(preds))
     m = image_metrics(pred_img, ds.target_image(), ds.max_i)
     print(

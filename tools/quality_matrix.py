@@ -25,10 +25,13 @@ from ab_importance import run  # noqa: E402
 VARIANTS = {
     "uniform128": "configs/instant_ngp_tpu.json",
     "occ15_64p32f": "configs/instant_ngp_tpu_occ.json",
-    # since the r4 clip adoption this IS the guarded flagship; the jsonl's
-    # historical occ13_32p24f rows were recorded pre-guard and are kept
-    # reproducible via occ13_noclip below
+    # the living flagship config: r4 made it the guarded occ13, r5 adopted
+    # q8sr tables into it. Historical row reproducibility: pre-guard rows
+    # via occ13_noclip, pre-q8sr (bf16-table) rows via occ13_bf16
     "occ13_32p24f": "configs/instant_ngp_tpu_occ13.json",
+    "occ13_bf16": "configs/instant_ngp_tpu_occ13_bf16.json",
+    # flagship + softplus density activation (seed-4 collapse guard A/B)
+    "occ13_sp": "configs/instant_ngp_tpu_occ13_sp.json",
     # ADVICE r4: configs/instant_ngp_tpu_occ13_clip.json is now byte-
     # identical to the flagship (the guard was adopted), so the old
     # "occ13_clip" variant is an alias of occ13_32p24f and was dropped;
@@ -41,6 +44,10 @@ VARIANTS = {
     # only ~4 iterations/minute (498 rays/s), so occ21 is the only
     # trainable configuration at this capacity on one chip
     "occ21": "configs/instant_ngp_occ21.json",
+    # occ21 + pair-bucket hashed-level storage (models/hash_grid.py
+    # hashed_tile): 8 corner fetches -> 1 per hashed level, but a changed
+    # collision structure — the quality A/B here is the adoption evidence
+    "occ21_pb": "configs/instant_ngp_occ21_pb.json",
 }
 SCENES = {"smooth": 1, "hard": 40}
 MAX_ITERS = 200_000  # the wall-clock budget is the real stop
@@ -70,7 +77,9 @@ def main() -> None:
     if out_path.exists():
         for line in out_path.read_text().splitlines():
             r = json.loads(line)
-            done.add((r["name"], r["scene"], r["seed"]))
+            # budget is part of the cell identity: one jsonl may carry
+            # several matched-wall-clock tiers (e.g. 60 s and 300 s)
+            done.add((r["name"], r["scene"], r["seed"], r.get("budget_s")))
     out_path.parent.mkdir(parents=True, exist_ok=True)
 
     # variant-major: all cells of one config run back-to-back so its 3-7 min
@@ -79,7 +88,7 @@ def main() -> None:
         for name in names:
             for scene, n_blobs in SCENES.items():
                 for seed in seeds:
-                    if (name, scene, seed) in done:
+                    if (name, scene, seed, budget) in done:
                         continue
                     r = run(
                         name,
@@ -100,7 +109,11 @@ def main() -> None:
         print(f"-- {scene} scene --")
         for name in names:
             cells = [
-                r for r in rows if r["name"] == name and r["scene"] == scene
+                r
+                for r in rows
+                if r["name"] == name
+                and r["scene"] == scene
+                and r.get("budget_s") == budget
             ]
             if not cells:
                 continue

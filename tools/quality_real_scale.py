@@ -35,7 +35,10 @@ from ab_importance import run  # noqa: E402
 VARIANTS = {
     "uniform128": "configs/instant_ngp_tpu.json",
     "occ13_32p24f": "configs/instant_ngp_tpu_occ13.json",
+    "occ13_q8": "configs/instant_ngp_tpu_occ13_q8.json",
+    "occ13_q8sr": "configs/instant_ngp_tpu_occ13_q8sr.json",
     "occ21": "configs/instant_ngp_occ21.json",
+    "occ21_pb": "configs/instant_ngp_occ21_pb.json",
 }
 MAX_ITERS = 500_000  # the wall-clock budget is the real stop
 
