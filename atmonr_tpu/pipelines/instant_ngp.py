@@ -81,6 +81,22 @@ class InstantNGPPipeline(Pipeline):
         if act not in ("relu", "softplus"):
             raise ValueError(f"unknown density_activation {act!r}")
         self.density_act = jax.nn.relu if act == "relu" else jax.nn.softplus
+        # surface head init: "default" is the reference's Xavier head.
+        # "quiet" scales the surface MLP's output layer by 0.01 at init so
+        # the ATMOSPHERE branch wins the early mean-fitting race: the r5
+        # seed-4 collapse isolated to the params init alone (either seed's
+        # key/perm stream reproduces/avoids it) — when the surface head
+        # captures the scene mean first, the compositor's density gradient
+        # hits the ReLU's dead side and the atmosphere branch dies with
+        # EXACTLY zero gradient (pos_table/pos_mlp/dir_mlp all 0.0), after
+        # which a surface-only model cannot fit cloud parallax and the
+        # loss floors ~1.7. A quiet (not zero: relu'(0)=0 would kill the
+        # surface head permanently) start removes the competitor without
+        # changing the converged model class.
+        shi = str(config.get("surface_head_init", "default"))
+        if shi not in ("default", "quiet"):
+            raise ValueError(f"unknown surface_head_init {shi!r}")
+        self.surface_head_init = shi
         self.dir_specs = parse_encoding_config(ngp["dir_encoding"])
         self.dir_in_dims = 3 + _POS_MLP_OUT - self.num_density_outputs
         self.dir_enc_dims = composite_output_dim(self.dir_specs, self.dir_in_dims)
@@ -111,7 +127,7 @@ class InstantNGPPipeline(Pipeline):
     def init_params(self, key: jax.Array) -> dict:
         ngp = self.config["instant_ngp"]
         keys = jax.random.split(key, 6)
-        return {
+        params = {
             "pos_table": hg.init_hash_table(keys[0], self.pos_cfg),
             "pos_mlp": small_mlp_init(
                 keys[1],
@@ -136,6 +152,10 @@ class InstantNGPPipeline(Pipeline):
                 n_hidden_layers=int(ngp["surface_network"]["n_hidden_layers"]),
             ),
         }
+        if self.surface_head_init == "quiet":
+            last = params["surf_mlp"]["layers"][-1]
+            last["w"] = last["w"] * 0.01
+        return params
 
     def _pos_branch(
         self,

@@ -112,6 +112,28 @@ class Trainer:
         # for throughput-critical runs — loss logging and checkpoints are
         # unaffected
         self.progress = bool(config.get("progress", True))
+        # restart-on-plateau collapse guard: the r5 sweep found a seed-borne
+        # bimodal failure (~1 in 5 inits, present in the reference's
+        # architecture) where one rendering branch dies in the first steps
+        # and the loss pins at the constant-image floor (~1.6) — and every
+        # tested in-trajectory guard (clip, eps, warmup, softplus density,
+        # quiet surface head) only reshuffles WHICH seeds fail
+        # (docs/performance.md "the seed-4 collapse"). A collapsed run is
+        # detectable within ~150 iterations, so the production answer is
+        # detect + reinit: config {"restart_on_plateau": {"check_iter": 150,
+        # "loss_threshold": 1.0, "max_restarts": 3}} re-draws the init from
+        # a folded key when the recent loss is still above the threshold at
+        # the check point. Costs one loss fetch per check; off by default.
+        rop = config.get("restart_on_plateau") or None
+        if rop:
+            rop = {
+                "check_iter": int(rop.get("check_iter", 150)),
+                "loss_threshold": float(rop.get("loss_threshold", 1.0)),
+                "max_restarts": int(rop.get("max_restarts", 3)),
+            }
+        self.restart_on_plateau = rop
+        self._restarts = 0
+        self._restart_base = 0
         # gradient micro-batching: scan micro-batches of this many rays
         # inside the step, summing gradients before the one optimizer
         # update — mathematically the full-batch step (losses are per-ray
@@ -465,6 +487,27 @@ class Trainer:
         )
         self._last_len = len(line)
 
+    def _reinit_for_restart(self, recent_loss: float) -> None:
+        """Re-draw the init from a folded key after a detected collapse
+        (see ``restart_on_plateau``). The iteration budget keeps counting —
+        a restart costs the iterations already spent, which is the honest
+        accounting for matched-wall-clock comparisons."""
+        self._restarts += 1
+        self._print(
+            f"\n[restart {self._restarts}] loss {recent_loss:.3f} still "
+            f"above {self.restart_on_plateau['loss_threshold']:g} at iter "
+            f"{self.iter_count}; re-drawing the init"
+        )
+        init_key = jax.random.fold_in(self.base_key, 7919 * self._restarts)
+        params = self.pipeline.init_params(init_key)
+        self.state["params"] = params
+        self.state["opt_state"] = self.optimizer.init(params)
+        self.state["aux"] = self.pipeline.init_aux()
+        if self.mesh is not None:
+            from atmonr_tpu.parallel.sharding import replicate
+
+            self.state = replicate(self.state, self.mesh)
+
     def install_preemption_handler(self) -> None:
         """Preemption-safe training: on SIGTERM (the TPU-pod maintenance /
         spot-reclaim signal), finish the in-flight step, write a checkpoint,
@@ -528,6 +571,22 @@ class Trainer:
                 # old trim-then-append kept pf+1 values after block one,
                 # leaking the previous block's last loss into every mean)
                 running = (running + [loss])[-self.print_frequency :]
+                if (
+                    self.restart_on_plateau is not None
+                    and self._restarts < self.restart_on_plateau["max_restarts"]
+                    and self.iter_count - self._restart_base
+                    == self.restart_on_plateau["check_iter"]
+                ):
+                    recent = float(jnp.mean(jnp.stack(running[-5:])))
+                    if recent > self.restart_on_plateau["loss_threshold"]:
+                        self._reinit_for_restart(recent)
+                        self._restart_base = self.iter_count
+                    else:
+                        # a healthy run stays healthy (the collapse is an
+                        # init phenomenon); stop checking
+                        self._restarts = self.restart_on_plateau[
+                            "max_restarts"
+                        ]
                 yield self.iter_count
                 if self.iter_count % self.print_frequency == 0:
                     if prev_block is not None:

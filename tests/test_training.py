@@ -515,3 +515,46 @@ def test_warmup_ramp():
     up_w, _ = warm.update(g, warm.init(params), params)
     r = np.asarray(up_w["pos_table"]) / np.asarray(up_p["pos_table"])
     np.testing.assert_allclose(r, 0.01, rtol=1e-4)  # step 0: ramp = 1/100
+
+
+def test_restart_on_plateau_guard(dataset, tmp_path):
+    """restart_on_plateau re-draws the init when the loss is still above
+    the threshold at the check iteration (the r5 seed-borne collapse is
+    detectable by then), and leaves healthy runs untouched."""
+    pipe = get_pipeline(NGP_CONFIG, dataset)
+
+    # threshold 0: every check "detects a collapse" -> restarts until max
+    cfg = dict(
+        TRAINER_CONFIG,
+        num_iters=25,
+        restart_on_plateau={
+            "check_iter": 5, "loss_threshold": 0.0, "max_restarts": 2
+        },
+    )
+    t_forced = Trainer(cfg, dataset, pipe, "rs_forced", data_root=tmp_path)
+    t_forced.train(tmp_path / "rs_forced_out")
+    assert t_forced._restarts == 2
+
+    # huge threshold: first check passes, checking stops, trajectory equals
+    # the guard-off run exactly
+    cfg_off = dict(TRAINER_CONFIG, num_iters=25)
+    t_off = Trainer(cfg_off, dataset, pipe, "rs_off", data_root=tmp_path)
+    t_off.train(tmp_path / "rs_off_out")
+    cfg_hi = dict(
+        TRAINER_CONFIG,
+        num_iters=25,
+        restart_on_plateau={
+            "check_iter": 5, "loss_threshold": 1e9, "max_restarts": 2
+        },
+    )
+    t_hi = Trainer(cfg_hi, dataset, pipe, "rs_hi", data_root=tmp_path)
+    t_hi.train(tmp_path / "rs_hi_out")
+    np.testing.assert_array_equal(
+        np.asarray(t_hi.state["params"]["pos_table"]),
+        np.asarray(t_off.state["params"]["pos_table"]),
+    )
+    # the forced-restart run took a different trajectory
+    assert not np.array_equal(
+        np.asarray(t_forced.state["params"]["pos_table"]),
+        np.asarray(t_off.state["params"]["pos_table"]),
+    )

@@ -89,6 +89,17 @@ def run(
 
     key = jax.random.PRNGKey(1000 * seed + 1)
     perm = epoch_permutation(jax.random.PRNGKey(1000 * seed + 2), ds.num_rays, b)
+    # restart-on-plateau collapse guard (same semantics as the Trainer's
+    # config key; see training/trainer.py) — measured inside the cell so
+    # matched-wall-clock A/Bs price the restart honestly
+    rop = cfg["trainer"].get("restart_on_plateau") or None
+    if rop:
+        rop = {
+            "check_iter": int(rop.get("check_iter", 150)),
+            "loss_threshold": float(rop.get("loss_threshold", 1.0)),
+            "max_restarts": int(rop.get("max_restarts", 3)),
+        }
+    restarts, restart_base = 0, 0
     # compile outside the timed region
     params, opt_state, loss = step(
         params, opt_state, aux, rays, perm, jnp.asarray(0), key
@@ -114,6 +125,24 @@ def run(
                 params, aux, jax.random.fold_in(key, num_iters + i)
             )
         i += 1
+        if (
+            rop
+            and restarts < rop["max_restarts"]
+            and i - restart_base == rop["check_iter"]
+        ):
+            if float(loss) > rop["loss_threshold"]:
+                restarts += 1
+                restart_base = i
+                print(f"  [restart {restarts} at iter {i}]", flush=True)
+                params = pipe.init_params(
+                    jax.random.fold_in(
+                        jax.random.PRNGKey(1000 * seed), 7919 * restarts
+                    )
+                )
+                opt_state = opt.init(params)
+                aux = pipe.init_aux()
+            else:
+                restarts = rop["max_restarts"]  # healthy; stop checking
         if i % steps_per_epoch == 0:
             perm = epoch_permutation(jax.random.fold_in(key, i), ds.num_rays, b)
         if seconds is not None and i % SYNC_BLOCK == 0:

@@ -32,6 +32,11 @@ VARIANTS = {
     "occ13_bf16": "configs/instant_ngp_tpu_occ13_bf16.json",
     # flagship + softplus density activation (seed-4 collapse guard A/B)
     "occ13_sp": "configs/instant_ngp_tpu_occ13_sp.json",
+    # flagship + quiet surface-head init (seed-4 collapse guard A/B)
+    "occ13_qh": "configs/instant_ngp_tpu_occ13_qh.json",
+    # flagship + restart-on-plateau (the adoptable collapse guard:
+    # detect the constant-image loss floor at iter 150, re-draw the init)
+    "occ13_rs": "configs/instant_ngp_tpu_occ13_rs.json",
     # ADVICE r4: configs/instant_ngp_tpu_occ13_clip.json is now byte-
     # identical to the flagship (the guard was adopted), so the old
     # "occ13_clip" variant is an alias of occ13_32p24f and was dropped;
