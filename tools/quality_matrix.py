@@ -9,6 +9,7 @@ table prints at the end for docs/performance.md.
 Usage:
     python -m tools.quality_matrix [budget=60] [seeds=0,1,2] [out=...]
         [variants=a,b,...]   # subset of VARIANTS
+        [scenes=smooth,hard] # subset of SCENES (long-budget runs use hard)
 """
 
 from __future__ import annotations
@@ -67,6 +68,7 @@ def main() -> None:
     seeds = [0, 1, 2]
     out_path = Path("docs/quality_matrix.jsonl")
     names = list(VARIANTS)
+    scenes = dict(SCENES)
     for a in list(sys.argv[1:]):
         k, _, v = a.partition("=")
         if k == "budget":
@@ -77,6 +79,8 @@ def main() -> None:
             out_path = Path(v)
         elif k == "variants":
             names = v.split(",")
+        elif k == "scenes":
+            scenes = {s: SCENES[s] for s in v.split(",")}
 
     done = set()
     if out_path.exists():
@@ -91,7 +95,7 @@ def main() -> None:
     # server-side compile is paid once per (variant, scene-shape) pair
     with open(out_path, "a") as f:
         for name in names:
-            for scene, n_blobs in SCENES.items():
+            for scene, n_blobs in scenes.items():
                 for seed in seeds:
                     if (name, scene, seed, budget) in done:
                         continue
@@ -110,7 +114,7 @@ def main() -> None:
 
     rows = [json.loads(ln) for ln in out_path.read_text().splitlines()]
     print(f"\n== matched wall-clock {budget:.0f}s/cell, seeds {seeds} ==")
-    for scene in SCENES:
+    for scene in scenes:
         print(f"-- {scene} scene --")
         for name in names:
             cells = [
