@@ -6,13 +6,17 @@ MLP forward over batch x samples points, Beer-Lambert compositing with the
 opaque surface term, loss, backward (including the Pallas one-hot-matmul
 hash-table gradient), the AdamW update, AND the periodic dense occupancy
 refresh (its cadence falls inside the timed window) — at the TPU flagship
-work rate: 8192 rays/iter, 64 grid probes placing 32 samples/ray, 2^13-entry
-hash levels (configs/instant_ngp_tpu_occ13.json), on one TPU chip, on a
-synthetic HARP2 granule. Quality evidence (tools/ab_importance.py, 3000
-iters, smooth AND multi-scale "hard" scenes): equal-or-better PSNR/SSIM vs
-both brute-force uniform-128 (the reference's strategy,
-configs/instant_ngp_tpu.json) and the 2^15-table occupancy config
-(instant_ngp_tpu_occ.json), at 4.3x and 1.67x their rays/s respectively;
+work rate: 8192 rays/iter, 32 grid probes placing 24 fine samples/ray,
+2^13-entry hash levels stored int8 with per-step stochastic rounding
+(q8sr), clip + restart-on-plateau guards
+(configs/instant_ngp_tpu_occ13.json), on one TPU chip, on a synthetic
+HARP2 granule. Quality evidence is seed-swept at MATCHED WALL-CLOCK
+(tools/quality_matrix.py, tools/quality_real_scale.py, smooth AND
+multi-scale "hard" scenes, 60 s/300 s tiers plus a 14.6 M-ray
+real-granule tier): equal-or-better PSNR/SSIM vs brute-force uniform-128
+(the reference's strategy, configs/instant_ngp_tpu.json) at ~15x its
+rays/s, and vs the bf16-table flagship it replaced
+(instant_ngp_tpu_occ13_bf16.json) on every scene x budget panel;
 2^12 tables degrade PSNR and are not used. The reference's 2^21/1024-sample
 config remains supported (configs/instant_ngp.json) on the same code path.
 
